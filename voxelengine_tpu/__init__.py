@@ -17,6 +17,7 @@ XLA reductions (no host threads), and scale-out is pixel-space sharding via
 from voxelengine_tpu.config import Environment, RenderConfig, TraceConfig
 from voxelengine_tpu.core.bitgrid import BitGrid
 from voxelengine_tpu.core.brickmap import BrickMap, build_brickmap
+from voxelengine_tpu.engine.raytracer import RayTraceResults, VoxelRaytracer3D
 
 __version__ = "0.1.0"
 

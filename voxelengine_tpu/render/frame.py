@@ -1,0 +1,211 @@
+"""Frame rendering: primary rays -> traversal -> shading -> framebuffer.
+
+Equivalent of the reference's ``screenDispatch`` kernel + ``RenderScreen``
+host wrapper (``Renderer.cu:179-328``), restructured for TPU: the kernel's
+per-thread work becomes one fused, jitted pipeline over a flat pixel batch
+(camera -> trace -> shade), and the per-frame scatter into a persistent
+framebuffer implements the checkerboard/interlace trick
+(``Renderer.cu:186-194,311-313``) as an index remap + masked scatter.
+
+Faithfully reproduced details:
+* checkerboard row remap ``y = 2*y' + (x even) + (frame even)`` with
+  out-of-range rows dropped;
+* DEBUG_VIEW quadrants: normals / hit-pos mod 128 / untouched / distance,
+  plus the bottom-left step-count heatmap overlay (``Renderer.cu:215-243,
+  270-275``) and its exact write masks (the bottom-left quadrant row at
+  ``y == H/2`` keeps stale framebuffer content, like the reference);
+* sky = raw ray direction channel-clamped at store (``Renderer.cu:254-258``);
+* the crosshair write uses the pre-remap row index, so — exactly like the
+  reference — it never fires while checkerboarding (``Renderer.cu:260-268``);
+* normals are negated before display/shading (``Renderer.cu:212``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from voxelengine_tpu.config import (
+    FLT_EPS_DDA,
+    DebugView,
+    Environment,
+    Projection,
+    RenderConfig,
+)
+from voxelengine_tpu.core.brickmap import BrickMap
+from voxelengine_tpu.ops.noise import random_float
+from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap
+from voxelengine_tpu.render import camera as cam
+from voxelengine_tpu.render.shading import calculate_color, reflect, tonemap
+
+F32 = jnp.float32
+
+
+def make_framebuffer(cfg: RenderConfig) -> jax.Array:
+    """Persistent RGB float framebuffer (the SDL streaming texture analog,
+    ``SDLRenderer.cpp:19-31``)."""
+    return jnp.zeros((cfg.height, cfg.width, 3), F32)
+
+
+def primary_rays(cfg: RenderConfig, origin, euler, frame_number):
+    """Build the frame's primary rays.
+
+    Returns (origins [N,3], dirs [N,3], px [N], py [N]) where (px, py) are
+    final framebuffer coordinates (checkerboard-remapped; py may equal H for
+    dropped rows, ``Renderer.cu:186-196``).
+    """
+    W, H = cfg.width, cfg.height
+    rows = H // 2 if cfg.checkerboard else H
+    xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
+    px = xg.reshape(-1)
+    py_r = yg.reshape(-1)
+    if cfg.checkerboard:
+        py = py_r * 2 + jnp.where(px % 2 == 0, 1, 0) + jnp.where(frame_number % 2 == 0, 1, 0)
+    else:
+        py = py_r
+
+    u = px.astype(F32) / F32(W)
+    v = py.astype(F32) / F32(H)
+    fwd, up, right = cam.get_directions(euler)
+    origin = jnp.asarray(origin, F32)
+    if cfg.projection is Projection.PERSPECTIVE:
+        dirs = cam.ray_direction(fwd, up, right, W, H, u, v, cfg.fov_degrees)
+        origins = jnp.broadcast_to(origin, dirs.shape)
+    else:
+        dirs = jnp.broadcast_to(fwd, (px.shape[0], 3))
+        origins = cam.ray_origin_ortho(fwd, up, right, W, H, u, v, origin, cfg.ortho_size)
+    return origins, dirs, px, py, py_r
+
+
+def _ambient_occlusion(
+    bm: BrickMap, position, normal, px, py, frame_number, cfg: RenderConfig
+):
+    """Hemisphere-sampled AO (working version of the reference's disabled
+    scaffolding, ``Renderer.cu:120-165``): short 8-step occlusion rays with
+    distance falloff, seeded per pixel/frame via the noise hash."""
+    W = cfg.width
+    seed = (py * W + px).astype(jnp.int32)
+    occ = jnp.zeros(position.shape[0], F32)
+    for i in range(cfg.ao_samples):
+        si = seed + jnp.int32(i * 1000) + (frame_number + 1) * 1000
+        sd = jnp.stack(
+            [
+                random_float(si.astype(jnp.uint32)) * 2.0 - 1.0,
+                random_float((si * 10).astype(jnp.uint32)) * 2.0 - 1.0,
+                random_float((si * 100).astype(jnp.uint32)) * 2.0 - 1.0,
+            ],
+            axis=-1,
+        )
+        sd = sd / jnp.linalg.norm(sd, axis=-1, keepdims=True)
+        below = jnp.sum(sd * normal, axis=-1) < 0.0
+        sd = jnp.where(below[:, None], reflect(sd, normal), sd)
+        res = trace_brickmap(bm, position + normal * 0.01, sd, max_steps=8)
+        dist = jnp.linalg.norm(res.position - position, axis=-1)
+        falloff = 1.0 - jnp.minimum(1.0 / jnp.maximum(dist * 10.0, 1e-6), 1.0)
+        occ = occ + jnp.where(res.hit, falloff, 1.0)
+    return occ / F32(cfg.ao_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def render_frame(
+    bm: BrickMap,
+    framebuffer: jax.Array,
+    origin,
+    euler,
+    env: Environment,
+    frame_number,
+    cfg: RenderConfig,
+) -> jax.Array:
+    """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
+
+    The full fused path of ``RenderScreen`` -> ``screenDispatch``
+    (``Renderer.cu:305-328,179-276``).  ``frame_number`` is a traced scalar
+    so checkerboard parity doesn't recompile.
+    """
+    W, H = cfg.width, cfg.height
+    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    out: TraceOut = trace_brickmap(bm, origins, dirs, cfg.max_steps)
+    normal = -out.normal  # Renderer.cu:212
+    steps = out.steps
+
+    cam_pos = jnp.asarray(origin, F32)
+    shadow_hit = None
+    if cfg.shadow_rays:
+        L = env.light_direction
+        sres = trace_brickmap(
+            bm, out.position + L * 0.01, jnp.broadcast_to(L, normal.shape), cfg.max_steps
+        )
+        shadow_hit = sres.hit & out.hit
+        steps = steps + jnp.where(out.hit, sres.steps, 0)
+
+    dist = jnp.linalg.norm(out.position - origins, axis=-1)
+
+    if cfg.debug_view is DebugView.SHADED:
+        color = calculate_color(cam_pos, normal, out.position, env, shadow_hit)
+        if cfg.ao_samples > 0:
+            l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
+            ao = _ambient_occlusion(bm, out.position, normal, px, py, frame_number, cfg)
+            color = jnp.where((l_dot == 0.0)[:, None], color * ao[:, None], color)
+        color = tonemap(color)
+        write = jnp.ones_like(out.hit)
+    elif cfg.debug_view is DebugView.DEBUG:
+        hp = out.position / F32(cfg.debug_pos_mod)
+        hp = jnp.mod(hp, F32(1.0) + F32(FLT_EPS_DDA))
+        left = px < (W >> 1)
+        top = py < (H >> 1)
+        color = jnp.where(
+            top[:, None],
+            jnp.where(left[:, None], normal, hp),
+            jnp.stack([dist * 0.01, jnp.zeros_like(dist), jnp.zeros_like(dist)], -1),
+        )
+        # bottom-left quadrant: no write on hit (Renderer.cu:233-235)
+        write = ~(left & ~top)
+    elif cfg.debug_view is DebugView.NORMALS:
+        color = normal
+        write = jnp.ones_like(out.hit)
+    elif cfg.debug_view is DebugView.DEPTH:
+        color = jnp.stack([dist * 0.01, jnp.zeros_like(dist), jnp.zeros_like(dist)], -1)
+        write = jnp.ones_like(out.hit)
+    else:  # STEPS
+        color = jnp.stack(
+            [steps.astype(F32) / 256.0, jnp.zeros_like(dist), jnp.zeros_like(dist)], -1
+        )
+        write = jnp.ones_like(out.hit)
+
+    # miss -> sky = raw ray direction (Renderer.cu:254-258)
+    color = jnp.where(out.hit[:, None], color, dirs)
+    write = write | ~out.hit
+
+    # crosshair: uses the PRE-remap row, so it only fires without
+    # checkerboarding — reference behavior (Renderer.cu:260-268)
+    if cfg.crosshair:
+        cross = (px == (W >> 1)) & (py_r == (H >> 1))
+        color = jnp.where(cross[:, None], 10.0, color)
+        write = write | cross
+
+    if cfg.debug_view is DebugView.DEBUG:
+        # bottom-left step heatmap overlay (Renderer.cu:270-275)
+        bl = (px < (W >> 1)) & (py > (H >> 1))
+        color = jnp.where(
+            bl[:, None],
+            jnp.stack([steps.astype(F32) / 256.0, jnp.zeros_like(dist), jnp.zeros_like(dist)], -1),
+            color,
+        )
+        write = write | bl
+
+    color = jnp.clip(color, 0.0, 1.0)  # setPixelColor clamp (Renderer.cu:79-81)
+    # drop out-of-range rows and masked pixels (scatter mode="drop")
+    py_w = jnp.where(write & (py < H), py, H)
+    fb = framebuffer.at[py_w, px].set(color, mode="drop")
+    return fb
+
+
+def to_bgra8(fb: jax.Array) -> jax.Array:
+    """RGB f32 [0,1] -> packed BGRA8888 bytes (``Renderer.cuh:29-31``,
+    ``SDLRenderer.h:8-11`` byte order) for the display sink."""
+    u8 = (jnp.clip(fb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    a = jnp.full(fb.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([u8[..., 2:3], u8[..., 1:2], u8[..., 0:1], a], axis=-1)
