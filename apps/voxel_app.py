@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""VoxelApp — the interactive 3D engine demo.
+
+Equivalent of the reference's ``VoxelApp/main.cu``: generate a 1024^3 fBm
+terrain world, build the factor-32 brickmap, then run a fly-camera render
+loop with WASD+QE movement (LShift-style boost via 'b'), presenting frames
+through the native frame sink and reporting an EMA "Avg FPS" like the
+reference's window title (``main.cu:170-194``).  Voxel place/break edits
+are wired to the crosshair ray ('f' breaks, 'g' places) — the capability
+the reference's atomic bit design enables but never binds to input.
+
+Headless-friendly: with no tty it runs a scripted deterministic fly-through
+(--frames N) and exits.  View the live frame with any PPM viewer on
+``frames/latest.ppm``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+from voxelengine_tpu import Environment, RenderConfig, VoxelRaytracer3D
+from voxelengine_tpu.config import DebugView
+from voxelengine_tpu.core.brickmap import apply_edits
+from voxelengine_tpu.io.checkpoint import generate_or_load
+from voxelengine_tpu.core.brickmap import build_brickmap_from_fn
+from voxelengine_tpu.ops.trace import trace_brickmap
+from voxelengine_tpu.render.frame import make_framebuffer, render_frame, to_bgra8
+from voxelengine_tpu.runtime.display import Renderer
+from voxelengine_tpu.runtime.input import best_input
+from voxelengine_tpu.utils.profiling import FrameTimer, timed
+from voxelengine_tpu.worldgen.terrain import generate_world, _gen_slab
+
+
+def build_world(size, factor, octaves, cache_dir=".worlds_cache"):
+    X, Y, Z = size
+
+    def gen():
+        def slab_fn(z0):
+            return np.asarray(_gen_slab(z0, (X, Y, factor), 0x71889283, octaves))
+
+        return build_brickmap_from_fn(slab_fn, size, factor, dense_slots=True)
+
+    key = f"terrain_{X}x{Y}x{Z}_f{factor}_o{octaves}"
+    return generate_or_load(cache_dir, key, gen)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, nargs=3, default=[1024, 1024, 1024])
+    ap.add_argument("--factor", type=int, default=32)  # main.cu:21
+    ap.add_argument("--width", type=int, default=1280)  # main.cu:15
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--octaves", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=240, help="scripted frame count")
+    ap.add_argument("--debug-view", action="store_true")
+    ap.add_argument("--outdir", default="frames")
+    ap.add_argument("--record", action="store_true", help="save numbered PPMs")
+    args = ap.parse_args()
+
+    with timed("Voxel generation + buffer generation time"):  # main.cu:26,32
+        bm = build_world(tuple(args.size), args.factor, args.octaves)
+
+    rt = VoxelRaytracer3D()
+    rt.upload_world(bm)
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        debug_view=DebugView.DEBUG if args.debug_view else DebugView.SHADED,
+        checkerboard=True,
+    )
+    env = Environment.default()  # main.cu:58-63
+
+    renderer = Renderer("voxelengine_tpu")
+    renderer.init(args.width, args.height, 1.0, outdir=args.outdir,
+                  mode=3 if args.record else 2)
+
+    cam_pos = np.array([256.0, 256.0, 256.0], np.float32)  # main.cu:52
+    euler = np.array([0.3, 0.8, 0.0], np.float32)
+    fb = make_framebuffer(cfg)
+    timer = FrameTimer()
+    src = best_input(
+        scripted=[["w"] if i % 3 else ["w", "right"] for i in range(args.frames)]
+        if not sys.stdin.isatty()
+        else None
+    )
+
+    frame = 0
+    running = True
+
+    def on_frame(data):
+        nonlocal fb, cam_pos, euler, frame, running
+        speed = 2.0
+        for ev in src.poll():
+            fwd = np.array(
+                [
+                    -math.cos(euler[0]) * math.sin(euler[1]),
+                    math.sin(euler[0]),
+                    -math.cos(euler[0]) * math.cos(euler[1]),
+                ],
+                np.float32,
+            )
+            right = np.array([math.cos(euler[1]), 0.0, -math.sin(euler[1])], np.float32)
+            if ev.key == "quit":
+                running = False
+            elif ev.key == "w":
+                cam_pos += fwd * speed
+            elif ev.key == "s":
+                cam_pos -= fwd * speed
+            elif ev.key == "a":
+                cam_pos -= right * speed
+            elif ev.key == "d":
+                cam_pos += right * speed
+            elif ev.key == "q":
+                cam_pos[1] -= speed
+            elif ev.key == "e":
+                cam_pos[1] += speed
+            elif ev.key == "left":
+                euler[1] += 0.04
+            elif ev.key == "right":
+                euler[1] -= 0.04
+            elif ev.key == "up":
+                euler[0] -= 0.04
+            elif ev.key == "down":
+                euler[0] += 0.04
+            elif ev.key in ("f", "g"):
+                # crosshair voxel break/place
+                from voxelengine_tpu.render.camera import get_directions
+
+                fwdj, _, _ = get_directions(jnp.asarray(euler))
+                res = trace_brickmap(
+                    rt.world, jnp.asarray(cam_pos)[None], fwdj[None], cfg.max_steps
+                )
+                if bool(res.hit[0]):
+                    p = np.asarray(res.position[0])
+                    n = np.asarray(res.normal[0])
+                    tgt = p - 0.5 * n if ev.key == "f" else p + 0.5 * n
+                    v = np.clip(tgt.astype(int), 0, np.array(rt.world.world_dims) - 1)
+                    rt.edit_voxels(
+                        jnp.asarray([v[0]]), jnp.asarray([v[1]]), jnp.asarray([v[2]]),
+                        ev.key == "g",
+                    )
+
+        fb = render_frame(
+            rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
+            jnp.int32(frame), cfg,
+        )
+        data.pixels[...] = np.asarray(to_bgra8(fb))
+        frame += 1
+        ema = timer.tick()
+        if frame % 30 == 0:
+            print(f"[{frame}] Avg FPS: {timer.fps:.1f} ({ema:.2f} ms)")
+
+    renderer.add_render_event_callback(on_frame)
+    while running and frame < args.frames:
+        renderer.render()
+    renderer.close()
+    print(f"presented {renderer.frames_presented} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+// framesink — native presentation backend for voxelengine_tpu.
+//
+// TPU-native analog of the reference's SDLRenderer static library
+// (SDLRenderer/SDLRenderer.{h,cpp}): where that wraps an SDL window with a
+// streaming ARGB8888 texture and a callback-driven render loop, this wraps
+// an asynchronous writer thread with a double-buffered BGRA frame queue so
+// the Python render loop never blocks on presentation I/O.  Frames are
+// streamed to:
+//   * a PPM/raw-BGRA file sequence (headless captures), and/or
+//   * a live preview FIFO/file (latest frame only, atomically replaced).
+//
+// C ABI (used from Python via ctypes):
+//   fs_init(width, height, mode, path)  -> handle (>=0) or -1
+//   fs_submit(handle, bgra_ptr)         -> 0 ok / -1 bad handle
+//   fs_frames_written(handle)           -> count of frames flushed
+//   fs_close(handle)                    -> frames flushed (after drain)
+//
+// mode bitmask: 1 = write numbered PPM sequence under path/frame_%06d.ppm
+//               2 = keep path/latest.ppm updated (atomic rename)
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Sink {
+    int width = 0, height = 0, mode = 0;
+    std::string dir;
+    std::vector<uint8_t> pending;   // BGRA frame queued for writing
+    std::vector<uint8_t> writing;   // frame being flushed
+    bool has_pending = false;
+    bool closing = false;
+    std::atomic<long> frames_written{0};
+    long frames_submitted = 0;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::thread worker;
+    bool used = false;
+};
+
+constexpr int kMaxSinks = 16;
+Sink g_sinks[kMaxSinks];
+std::mutex g_table_mu;
+
+void write_ppm(const std::string& path, const uint8_t* bgra, int w, int h) {
+    std::string tmp = path + ".tmp";
+    FILE* f = std::fopen(tmp.c_str(), "wb");
+    if (!f) return;
+    std::fprintf(f, "P6\n%d %d\n255\n", w, h);
+    std::vector<uint8_t> rgb(static_cast<size_t>(w) * h * 3);
+    for (size_t i = 0, n = static_cast<size_t>(w) * h; i < n; i++) {
+        rgb[i * 3 + 0] = bgra[i * 4 + 2];
+        rgb[i * 3 + 1] = bgra[i * 4 + 1];
+        rgb[i * 3 + 2] = bgra[i * 4 + 0];
+    }
+    std::fwrite(rgb.data(), 1, rgb.size(), f);
+    std::fclose(f);
+    std::rename(tmp.c_str(), path.c_str());
+}
+
+void worker_loop(Sink* s) {
+    for (;;) {
+        {
+            std::unique_lock<std::mutex> lk(s->mu);
+            s->cv.wait(lk, [s] { return s->has_pending || s->closing; });
+            if (!s->has_pending && s->closing) return;
+            s->writing.swap(s->pending);
+            s->has_pending = false;
+        }
+        long n = s->frames_written.load();
+        if (s->mode & 1) {
+            char name[64];
+            std::snprintf(name, sizeof(name), "/frame_%06ld.ppm", n);
+            write_ppm(s->dir + name, s->writing.data(), s->width, s->height);
+        }
+        if (s->mode & 2) {
+            write_ppm(s->dir + "/latest.ppm", s->writing.data(), s->width, s->height);
+        }
+        s->frames_written.fetch_add(1);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int fs_init(int width, int height, int mode, const char* dir) {
+    std::lock_guard<std::mutex> lk(g_table_mu);
+    for (int i = 0; i < kMaxSinks; i++) {
+        Sink& s = g_sinks[i];
+        if (s.used) continue;
+        s.used = true;
+        s.width = width;
+        s.height = height;
+        s.mode = mode;
+        s.dir = dir ? dir : ".";
+        s.closing = false;
+        s.has_pending = false;
+        s.frames_written.store(0);
+        s.frames_submitted = 0;
+        size_t bytes = static_cast<size_t>(width) * height * 4;
+        s.pending.assign(bytes, 0);
+        s.writing.assign(bytes, 0);
+        s.worker = std::thread(worker_loop, &s);
+        return i;
+    }
+    return -1;
+}
+
+int fs_submit(int handle, const uint8_t* bgra) {
+    if (handle < 0 || handle >= kMaxSinks || !g_sinks[handle].used) return -1;
+    Sink& s = g_sinks[handle];
+    {
+        std::lock_guard<std::mutex> lk(s.mu);
+        std::memcpy(s.pending.data(), bgra, s.pending.size());
+        s.has_pending = true;  // newest frame wins; older pending is dropped
+        s.frames_submitted++;
+    }
+    s.cv.notify_one();
+    return 0;
+}
+
+long fs_frames_written(int handle) {
+    if (handle < 0 || handle >= kMaxSinks || !g_sinks[handle].used) return -1;
+    return g_sinks[handle].frames_written.load();
+}
+
+long fs_close(int handle) {
+    if (handle < 0 || handle >= kMaxSinks || !g_sinks[handle].used) return -1;
+    Sink& s = g_sinks[handle];
+    {
+        std::lock_guard<std::mutex> lk(s.mu);
+        s.closing = true;
+    }
+    s.cv.notify_one();
+    if (s.worker.joinable()) s.worker.join();
+    long n = s.frames_written.load();
+    std::lock_guard<std::mutex> lk(g_table_mu);
+    s.used = false;
+    return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,157 @@
+"""Brickmap builder/edit tests (C4: VolumeRaytracer.cuh:379-516)."""
+
+import ctypes
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelengine_tpu.core.bitgrid import BitGrid
+from voxelengine_tpu.core.brickmap import (
+    apply_edits,
+    build_brickmap,
+    build_brickmap_from_fn,
+    unpack_meta,
+)
+from voxelengine_tpu.core.layout import Layout
+
+
+def _reference_bounds(dense, factor, cx, cy, cz):
+    f = factor
+    blk = dense[cz * f : (cz + 1) * f, cy * f : (cy + 1) * f, cx * f : (cx + 1) * f]
+    if not blk.any():
+        return None
+    zz, yy, xx = np.nonzero(blk)
+    return (
+        np.array([xx.min(), yy.min(), zz.min()]),
+        np.array([xx.max(), yy.max(), zz.max()]),
+    )
+
+
+def test_build_roundtrip_and_bounds(small_world):
+    dense, grid, bm = small_world
+    assert (np.asarray(bm.to_dense()) == dense).all()
+    occ, bmin, bmax = (np.asarray(v) for v in unpack_meta(bm.meta))
+    for cz in range(4):
+        for cy in range(4):
+            for cx in range(4):
+                ci = int(bm.chunk_index(cx, cy, cz))
+                rb = _reference_bounds(dense, 8, cx, cy, cz)
+                assert occ[ci] == (rb is not None)
+                if rb is not None:
+                    assert (bmin[ci] == rb[0]).all()
+                    assert (bmax[ci] == rb[1]).all()
+
+
+def test_compact_mode_same_geometry(small_world):
+    dense, grid, _ = small_world
+    bmc = build_brickmap(grid, 8, dense_slots=False, dedupe_uniform=True)
+    assert (np.asarray(bmc.to_dense()) == dense).all()
+
+
+def test_dedupe_full_bricks():
+    dense = np.zeros((16, 16, 16), bool)
+    dense[0:8, 0:8, 0:8] = True  # one fully solid chunk
+    dense[8:16, 8:16, 8:16] = True  # another fully solid chunk
+    dense[9, 2, 2] = True  # one sparse chunk
+    bmc = build_brickmap(BitGrid.from_dense(dense), 8, dense_slots=False, dedupe_uniform=True)
+    # slots: 0 = shared full brick, 1 = the sparse brick
+    assert bmc.bricks.shape[0] == 2
+    assert (np.asarray(bmc.to_dense()) == dense).all()
+
+
+def test_streaming_builder_equals_dense(rng):
+    dense = rng.random((32, 16, 48)) < 0.1  # [z,y,x] -> dims (48,16,32)
+    grid = BitGrid.from_dense(dense)
+    a = build_brickmap(grid, 8)
+
+    def slab_fn(z0):
+        return dense[z0 : z0 + 8]
+
+    b = build_brickmap_from_fn(slab_fn, (48, 16, 32), 8, dense_slots=True)
+    assert np.array_equal(np.asarray(a.meta), np.asarray(b.meta))
+    assert np.array_equal(np.asarray(a.bricks), np.asarray(b.bricks))
+
+
+def _copy(bm):
+    # apply_edits donates its input (in-place on device); tests work on copies
+    return jax.tree.map(jnp.copy, bm)
+
+
+def test_edits_match_rebuild(small_world, rng):
+    dense, _, bm = small_world
+    bm = _copy(bm)
+    xs = rng.integers(0, 32, 10)
+    ys = rng.integers(0, 32, 10)
+    zs = rng.integers(0, 32, 10)
+    vals = rng.random(10) < 0.5
+    bm2 = apply_edits(bm, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs), jnp.asarray(vals))
+    ref = dense.copy()
+    ref[zs, ys, xs] = vals
+    rebuilt = build_brickmap(BitGrid.from_dense(ref), 8)
+    assert np.array_equal(np.asarray(bm2.meta), np.asarray(rebuilt.meta))
+    assert np.array_equal(np.asarray(bm2.bricks), np.asarray(rebuilt.bricks))
+
+
+def test_edits_same_word_compose(small_world):
+    """Adjacent-voxel edits land in the same uint32 word and must compose
+    (the reference needed atomics for this, VolumeRaytracer.cu:21-26)."""
+    dense, _, bm = small_world
+    bm = _copy(bm)
+    xs = jnp.asarray([0, 1, 2, 3, 4])
+    ys = jnp.asarray([9, 9, 9, 9, 9])
+    zs = jnp.asarray([9, 9, 9, 9, 9])
+    bm2 = apply_edits(bm, xs, ys, zs, jnp.asarray([True] * 5))
+    d2 = np.asarray(bm2.to_dense())
+    assert d2[9, 9, 0:5].all()
+
+
+def test_native_builder_cross_check(rng):
+    """C++ multithreaded builder vs the XLA builder (independent impls)."""
+    from voxelengine_tpu.runtime.native import bitops_lib
+
+    lib = bitops_lib()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    dense = rng.random((16, 16, 16)) < 0.15
+    X = Y = Z = 16
+    f = 8
+    # pack linear x-fastest for the native API
+    flat = dense.transpose(0, 1, 2).reshape(-1)  # [z,y,x] row-major == linear
+    nwords = (flat.size + 31) // 32
+    words = np.zeros(nwords, np.uint32)
+    lib.bit_pack(
+        np.ascontiguousarray(flat.astype(np.uint8)).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        flat.size,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    nchunks = 8
+    meta = np.zeros(nchunks, np.int32)
+    bricks = np.zeros((nchunks, f**3 // 32), np.uint32)
+    lib.build_brickmap_host(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        X, Y, Z, f,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bricks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        0,
+    )
+    # XLA builder with matching (linear) layouts
+    bm = build_brickmap_from_fn(
+        lambda z0: dense[z0 : z0 + f], (X, Y, Z), f,
+        coarse_layout=Layout.LINEAR, brick_layout=Layout.LINEAR,
+        dense_slots=True,
+    )
+    assert np.array_equal(np.asarray(bm.meta), meta)
+    assert np.array_equal(np.asarray(bm.bricks), bricks)
+
+
+def test_bitops_popcount(rng):
+    from voxelengine_tpu.runtime.native import bitops_lib
+
+    lib = bitops_lib()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    w = rng.integers(0, 2**32, 128, dtype=np.uint32)
+    got = lib.bit_popcount(w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w.size)
+    assert got == sum(bin(v).count("1") for v in w)

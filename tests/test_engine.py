@@ -1,0 +1,60 @@
+"""Engine facade / batch ray API tests (C8: VolumeRaytracer.cu:574-618)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelengine_tpu import VoxelRaytracer3D
+from voxelengine_tpu.core.bitgrid import BitGrid
+
+
+def test_batch_api_fields(small_world, ray_batch):
+    dense, grid, _ = small_world
+    origins, rays = ray_batch
+    rt = VoxelRaytracer3D()
+    rt.upload_voxel_buffer(grid, 8)
+    res = rt.raytrace(origins, rays)
+    valid = np.asarray(res.valid)
+    hp = np.asarray(res.hit_point)
+    assert valid.any() and not valid.all()
+    # miss sentinel (VolumeRaytracer.cu:112)
+    assert np.isinf(hp[~valid]).all()
+    assert np.isfinite(hp[valid]).all()
+    # distance consistent with hit point
+    d = np.linalg.norm(origins[valid] - hp[valid], axis=1)
+    assert np.allclose(d, np.asarray(res.distance)[valid], atol=1e-3)
+    # voxel index = linear x-fastest from float pos (VolumeRaytracer.cu:611-612)
+    X, Y, _ = rt.world.world_dims
+    p = hp[valid]
+    vi = (p[:, 2] * X * Y + p[:, 1] * X + p[:, 0]).astype(np.int32)
+    assert np.array_equal(vi, np.asarray(res.voxel_index)[valid])
+    assert rt.last_kernel_ms > 0
+
+
+def test_engine_edit_roundtrip():
+    # dedicated solid-floor world (y-floor in [z, y, x] order)
+    dense = np.zeros((32, 32, 32), bool)
+    dense[:, 0:6, :] = True
+    grid = BitGrid.from_dense(dense)
+    rt = VoxelRaytracer3D()
+    rt.upload_voxel_buffer(grid, 8)
+    # carve a voxel out of the floor and verify a straight-down ray passes deeper
+    o = np.array([[10.5, 30.0, 10.5]], np.float32)
+    d = np.array([[0.0, -1.0, 0.0]], np.float32)
+    before = rt.raytrace(o, d)
+    y0 = float(before.hit_point[0, 1])
+    assert bool(before.valid[0])
+    hit_vox = np.floor(np.asarray(before.hit_point[0] - np.array([0, 1e-4, 0]))).astype(int)
+    rt.edit_voxels(
+        jnp.asarray([hit_vox[0]]), jnp.asarray([hit_vox[1]]), jnp.asarray([hit_vox[2]]), False
+    )
+    after = rt.raytrace(o, d)
+    assert (not bool(after.valid[0])) or float(after.hit_point[0, 1]) < y0
+
+
+def test_factor_accessors(small_world):
+    _, grid, _ = small_world
+    rt = VoxelRaytracer3D()
+    rt.set_factor(8)
+    assert rt.get_factor() == 8
+    rt.upload_voxel_buffer(grid)
+    assert rt.world.factor == 8

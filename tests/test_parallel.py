@@ -1,0 +1,65 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from voxelengine_tpu.config import Environment, RenderConfig
+from voxelengine_tpu.ops.trace import trace_brickmap
+from voxelengine_tpu.parallel.sharded import (
+    make_mesh,
+    raytrace_sharded,
+    render_frame_sharded,
+    replicate_world,
+)
+from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    return make_mesh()
+
+
+def test_sharded_render_matches_single(small_world, mesh):
+    _, _, bm = small_world
+    env = Environment.default()
+    cfg = RenderConfig(width=64, height=32, checkerboard=True)
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+
+    bmr = replicate_world(mesh, bm)
+    fb = jax.device_put(make_framebuffer(cfg), NamedSharding(mesh, P("rows")))
+    fb = render_frame_sharded(bmr, fb, origin, euler, env, jnp.int32(1), cfg, mesh)
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(1), cfg)
+    assert np.array_equal(np.asarray(fb), np.asarray(ref))
+    # really sharded: 8 addressable shards
+    assert len(fb.addressable_shards) == 8
+
+
+def test_sharded_rays_match_and_psum(small_world, ray_batch, mesh):
+    _, _, bm = small_world
+    origins, rays = ray_batch
+    n = (origins.shape[0] // 8) * 8
+    origins, rays = origins[:n], rays[:n]
+    bmr = replicate_world(mesh, bm)
+    out, avg = raytrace_sharded(bmr, origins, rays, mesh)
+    ref = trace_brickmap(bm, jnp.asarray(origins), jnp.asarray(rays))
+    assert np.array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    assert np.allclose(np.asarray(out.position), np.asarray(ref.position), atol=1e-5)
+    assert np.isclose(float(avg), float(np.asarray(ref.steps).mean()), atol=1e-5)
+
+
+def test_uneven_checkerboard_rows(small_world, mesh):
+    """Height not divisible by mesh -> assertion guides the user."""
+    _, _, bm = small_world
+    cfg = RenderConfig(width=16, height=12, checkerboard=True)
+    env = Environment.default()
+    bmr = replicate_world(mesh, bm)
+    fb = make_framebuffer(cfg)
+    with pytest.raises(AssertionError):
+        render_frame_sharded(
+            bmr, fb, jnp.zeros(3), jnp.zeros(3), env, jnp.int32(0), cfg, mesh
+        )

@@ -1,0 +1,64 @@
+"""Presentation/runtime tests (C16: SDLRenderer)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from voxelengine_tpu.runtime.display import Renderer
+from voxelengine_tpu.runtime.input import ScriptedInput
+from voxelengine_tpu.utils.profiling import FrameTimer, TraceStats
+
+
+def _read_ppm(path):
+    data = open(path, "rb").read()
+    parts = data.split(b"\n", 3)
+    w, h = map(int, parts[1].split())
+    return np.frombuffer(parts[3], np.uint8).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_renderer_callback_loop(tmp_path, force_python):
+    r = Renderer("test")
+    assert r.init(8, 4, 1.0, outdir=str(tmp_path), mode=3, force_python_sink=force_python)
+    frames = []
+
+    def cb(data):
+        assert data.width == 8 and data.height == 4
+        data.pixels[...] = len(frames) * 10
+        data.pixels[..., 3] = 255
+        frames.append(1)
+
+    r.add_render_event_callback(cb)
+    for _ in range(3):
+        r.render()
+    r.close()
+    assert len(frames) == 3
+    assert r.frames_presented >= 1  # async sink may coalesce, >=1 flushed
+    img = _read_ppm(os.path.join(str(tmp_path), "latest.ppm"))
+    assert img.shape == (4, 8, 3)
+    # last flushed frame has constant value from some callback invocation
+    assert len(np.unique(img)) == 1
+
+
+def test_scripted_input_sequence():
+    src = ScriptedInput([["w"], ["w", "a"], []])
+    assert [e.key for e in src.poll()] == ["w"]
+    assert [e.key for e in src.poll()] == ["w", "a"]
+    assert [e.key for e in src.poll()] == []
+    assert [e.key for e in src.poll()] == ["quit"]
+
+
+def test_frame_timer_ema():
+    t = FrameTimer(alpha=0.5)
+    t.tick()
+    t.tick()
+    assert t.ema_ms >= 0
+    assert t.frames == 2
+
+
+def test_trace_stats():
+    s = TraceStats()
+    s.record(1_000_000, 10.0, 5_000_000)
+    assert np.isclose(s.mrays_per_s, 100.0)
+    assert np.isclose(s.avg_steps, 5.0)

@@ -1,0 +1,71 @@
+"""World checkpointing: save/load packed brickmap worlds.
+
+The reference has no persistence — the 3D world is regenerated from a
+hard-coded seed every run (``VoxelWorldBuilder.cu:6``), and the 2D prototype
+loads a text fixture (``DDATestCpp.cpp:302-314``).  Determinism-as-checkpoint
+works, but a 32-octave fBm over 8k x 512 x 8k is minutes of VPU time, so the
+TPU build adds explicit save/load of the three flat arrays (npz with
+metadata).  ``generate_or_load`` is the cached-worldgen entry the bench and
+apps use.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxelengine_tpu.core.brickmap import BrickMap
+from voxelengine_tpu.core.layout import Layout
+
+FORMAT_VERSION = 1
+
+
+def save_world(path: str, bm: BrickMap) -> None:
+    """Serialize a brickmap world to ``path`` (.npz)."""
+    np.savez_compressed(
+        path,
+        version=FORMAT_VERSION,
+        meta=np.asarray(bm.meta),
+        brick_idx=np.asarray(bm.brick_idx),
+        bricks=np.asarray(bm.bricks),
+        grid_dims=np.asarray(bm.grid_dims),
+        factor=bm.factor,
+        coarse_layout=bm.coarse_layout.value,
+        brick_layout=bm.brick_layout.value,
+        dense_slots=bm.dense_slots,
+    )
+
+
+def load_world(path: str) -> BrickMap:
+    """Load a brickmap world saved by :func:`save_world` onto device."""
+    z = np.load(path)
+    assert int(z["version"]) == FORMAT_VERSION, "unknown world format"
+    return BrickMap(
+        meta=jnp.asarray(z["meta"]),
+        brick_idx=jnp.asarray(z["brick_idx"]),
+        bricks=jnp.asarray(z["bricks"]),
+        grid_dims=tuple(int(v) for v in z["grid_dims"]),
+        factor=int(z["factor"]),
+        coarse_layout=Layout(int(z["coarse_layout"])),
+        brick_layout=Layout(int(z["brick_layout"])),
+        dense_slots=bool(z["dense_slots"]),
+    )
+
+
+def generate_or_load(
+    cache_dir: str,
+    key: str,
+    generate_fn,
+) -> BrickMap:
+    """Load ``{cache_dir}/{key}.npz`` if present, else build via
+    ``generate_fn()`` and save it."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path):
+        return load_world(path)
+    bm = generate_fn()
+    save_world(path, bm)
+    return bm

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 
 EPSILON = 1e-9  # cuda_noise.cuh:39
 
+
+def _wrap_i32(v: int) -> int:
+    """Python int -> wrapped int32 value (C overflow semantics)."""
+    v &= 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
 _U32_MAX_F = jnp.float32(4294967295.0)
 _I32_MAX_F = jnp.float32(2147483520.0)  # largest f32 below 2^31
 _I32_MIN_F = jnp.float32(-2147483648.0)
@@ -568,7 +574,7 @@ def repeater_simplex(pos, scale, seed, n: int, lacunarity, decay):
         acc = acc + simplex_noise(pos, scale, seed) * amp * 0.35
         scale = scale * _f32(lacunarity)
         amp = amp * _f32(decay)
-        seed = seed ^ jnp.int32((i + 672381) * 200394)
+        seed = seed ^ jnp.int32(_wrap_i32((i + 672381) * 200394))
     return acc
 
 
@@ -583,7 +589,7 @@ def repeater_simplex_abs(pos, scale, seed, n: int, lacunarity, decay):
         acc = acc + jnp.abs(simplex_noise(pos, scale, seed)) * amp * 0.35
         scale = scale * _f32(lacunarity)
         amp = amp * _f32(decay)
-        seed = seed ^ jnp.int32((i + 198273) * 928374)
+        seed = seed ^ jnp.int32(_wrap_i32((i + 198273) * 928374))
     return map_to_signed(acc)
 
 
@@ -668,7 +674,7 @@ def fractal_simplex(pos, scale, seed, du, n: int, lacunarity, decay):
     offs = jnp.asarray([617.437379, 196410.219, 321280.627], jnp.float32)
     s = float(scale)
     for i in range(n):
-        acc = acc + simplex_noise(pos * s + offs, 1.0, seed * (i + 1)) * amp
+        acc = acc + simplex_noise(pos * s + offs, 1.0, seed * jnp.int32(i + 1)) * amp
         s *= lacunarity
         amp *= decay
         if s > rdu:

@@ -113,6 +113,8 @@ class _State(NamedTuple):
     active: jax.Array
     in_fine: jax.Array
     hit: jax.Array
+    imm: jax.Array  # current chunk entered *at the ray start itself*
+    hit_imm: jax.Array  # hit occurred at the ray start (degenerate case)
     steps: jax.Array
     ccell: jax.Array
     ctmax: jax.Array
@@ -170,6 +172,8 @@ def trace_brickmap(
         active=inside | whit,
         in_fine=jnp.zeros((n,), bool),
         hit=jnp.zeros((n,), bool),
+        imm=jnp.zeros((n,), bool),
+        hit_imm=jnp.zeros((n,), bool),
         steps=jnp.zeros((n,), I32),
         ccell=ccell,
         ctmax=ctmax,
@@ -214,7 +218,10 @@ def trace_brickmap(
         coarse_adv = coarse_phase & in_range_c & ~occupied
 
         # descend: initialize fine DDA at the tight-box entry (or the
-        # current position when already inside the box)
+        # current position when already inside the box).  A descend from the
+        # ray's own start position (no coarse advances, inside the box) is
+        # the reference's degenerate case (VolumeRaytracer.cu:518-522).
+        imm_new = (st.steps == 0) & (btmin <= 0.0)
         entry_c = jnp.where(
             (btmin > 0.0)[:, None], bpos, start_c + d * st.centry_t[:, None]
         )
@@ -279,6 +286,8 @@ def trace_brickmap(
         new_pos_out = jnp.where(fine_hit[:, None], hit_pos, st.pos_out)
         new_norm_out = jnp.where(fine_hit[:, None], hit_nrm, st.norm_out)
         new_hit = st.hit | fine_hit
+        new_imm = jnp.where(descend, imm_new, st.imm)
+        new_hit_imm = st.hit_imm | (fine_hit & (st.fsteps == 0) & st.imm)
 
         budget_dead = new_steps >= max_steps
         new_active = st.active & ~fine_hit & ~coarse_miss & ~budget_dead
@@ -288,6 +297,8 @@ def trace_brickmap(
             active=new_active,
             in_fine=new_in_fine,
             hit=new_hit,
+            imm=new_imm,
+            hit_imm=new_hit_imm,
             steps=new_steps,
             ccell=new_ccell,
             ctmax=new_ctmax,
@@ -306,11 +317,10 @@ def trace_brickmap(
 
     st = jax.lax.while_loop(cond, body, st)
 
-    # degenerate 0-step hit: clipped entry point + world-AABB entry normal
-    # (VolumeRaytracer.cu:518-522)
-    zero_step = st.hit & (st.steps == 0)
-    pos = jnp.where(zero_step[:, None], start_c * F32(f), st.pos_out)
-    nrm = jnp.where(zero_step[:, None], start_normal, st.norm_out)
+    # degenerate hit at the ray start: clipped entry point + world-AABB
+    # entry normal (VolumeRaytracer.cu:518-522)
+    pos = jnp.where(st.hit_imm[:, None], start_c * F32(f), st.pos_out)
+    nrm = jnp.where(st.hit_imm[:, None], start_normal, st.norm_out)
     return TraceOut(hit=st.hit, position=pos, normal=nrm, steps=st.steps)
 
 

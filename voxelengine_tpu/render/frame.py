@@ -109,24 +109,24 @@ def _ambient_occlusion(
     return occ / F32(cfg.ao_samples)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def render_frame(
+def shade_pixels(
     bm: BrickMap,
-    framebuffer: jax.Array,
+    origins,
+    dirs,
+    px,
+    py,
+    py_r,
     origin,
-    euler,
     env: Environment,
     frame_number,
     cfg: RenderConfig,
-) -> jax.Array:
-    """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
+):
+    """Trace + shade a flat pixel batch; returns ``(color [N,3], write [N])``.
 
-    The full fused path of ``RenderScreen`` -> ``screenDispatch``
-    (``Renderer.cu:305-328,179-276``).  ``frame_number`` is a traced scalar
-    so checkerboard parity doesn't recompile.
+    The per-pixel body of ``screenDispatch`` (``Renderer.cu:179-276``),
+    shared by the single-device and sharded render paths.
     """
     W, H = cfg.width, cfg.height
-    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     out: TraceOut = trace_brickmap(bm, origins, dirs, cfg.max_steps)
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
@@ -197,10 +197,33 @@ def render_frame(
         write = write | bl
 
     color = jnp.clip(color, 0.0, 1.0)  # setPixelColor clamp (Renderer.cu:79-81)
+    return color, write
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def render_frame(
+    bm: BrickMap,
+    framebuffer: jax.Array,
+    origin,
+    euler,
+    env: Environment,
+    frame_number,
+    cfg: RenderConfig,
+) -> jax.Array:
+    """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
+
+    The full fused path of ``RenderScreen`` -> ``screenDispatch``
+    (``Renderer.cu:305-328,179-276``).  ``frame_number`` is a traced scalar
+    so checkerboard parity doesn't recompile.
+    """
+    H = cfg.height
+    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    color, write = shade_pixels(
+        bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+    )
     # drop out-of-range rows and masked pixels (scatter mode="drop")
     py_w = jnp.where(write & (py < H), py, H)
-    fb = framebuffer.at[py_w, px].set(color, mode="drop")
-    return fb
+    return framebuffer.at[py_w, px].set(color, mode="drop")
 
 
 def to_bgra8(fb: jax.Array) -> jax.Array:

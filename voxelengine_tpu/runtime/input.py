@@ -1,0 +1,86 @@
+"""Input events for the interactive app.
+
+The reference polls SDL keyboard/mouse state per frame
+(``VoxelApp/main.cu:72-161``).  Headless TPU hosts have no SDL, so input is
+an event queue fed by (a) a raw-mode tty reader when stdin is a terminal,
+or (b) a scripted sequence for reproducible fly-throughs/tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import select
+import sys
+from typing import Iterable, List, Optional
+
+
+@dataclasses.dataclass
+class KeyEvent:
+    key: str  # 'w','a','s','d','q','e','shift','quit', arrows: 'up','down','left','right'
+
+
+class InputSource:
+    def poll(self) -> List[KeyEvent]:
+        raise NotImplementedError
+
+
+class ScriptedInput(InputSource):
+    """Replays a fixed per-frame key sequence (deterministic demos/tests)."""
+
+    def __init__(self, frames: Iterable[List[str]]):
+        self._frames = list(frames)
+        self._i = 0
+
+    def poll(self) -> List[KeyEvent]:
+        if self._i >= len(self._frames):
+            return [KeyEvent("quit")]
+        keys = self._frames[self._i]
+        self._i += 1
+        return [KeyEvent(k) for k in keys]
+
+
+class TtyInput(InputSource):
+    """Non-blocking raw-mode tty reader (WASD/QE + arrows, ESC quits)."""
+
+    _ARROWS = {"A": "up", "B": "down", "C": "right", "D": "left"}
+
+    def __init__(self):
+        import termios, tty  # noqa: PLC0415
+
+        self._fd = sys.stdin.fileno()
+        self._old = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+
+    def poll(self) -> List[KeyEvent]:
+        events: List[KeyEvent] = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = os.read(self._fd, 1).decode(errors="ignore")
+            if ch == "\x1b":  # escape sequence or ESC
+                if select.select([sys.stdin], [], [], 0)[0]:
+                    seq = os.read(self._fd, 2).decode(errors="ignore")
+                    if len(seq) == 2 and seq[0] == "[" and seq[1] in self._ARROWS:
+                        events.append(KeyEvent(self._ARROWS[seq[1]]))
+                        continue
+                events.append(KeyEvent("quit"))
+            elif ch.lower() in "wasdqe":
+                events.append(KeyEvent(ch.lower()))
+            elif ch == "X" or ch == "x":
+                events.append(KeyEvent("quit"))
+        return events
+
+    def close(self):
+        import termios  # noqa: PLC0415
+
+        termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+
+
+def best_input(scripted: Optional[Iterable[List[str]]] = None) -> InputSource:
+    if scripted is not None:
+        return ScriptedInput(scripted)
+    if sys.stdin.isatty():
+        try:
+            return TtyInput()
+        except Exception:
+            pass
+    return ScriptedInput([])
