@@ -27,27 +27,27 @@ import numpy as np
 
 sys.path.insert(0, ".")  # repo root
 
+from voxelengine_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from voxelengine_tpu import Environment, RenderConfig, VoxelRaytracer3D
 from voxelengine_tpu.config import DebugView
 from voxelengine_tpu.core.brickmap import apply_edits
 from voxelengine_tpu.io.checkpoint import generate_or_load
-from voxelengine_tpu.core.brickmap import build_brickmap_from_fn
+from voxelengine_tpu.core.brickmap import build_brickmap_terrain
 from voxelengine_tpu.ops.trace import trace_brickmap
 from voxelengine_tpu.render.frame import make_framebuffer, render_frame, to_bgra8
 from voxelengine_tpu.runtime.display import Renderer
 from voxelengine_tpu.runtime.input import best_input
 from voxelengine_tpu.utils.profiling import FrameTimer, timed
-from voxelengine_tpu.worldgen.terrain import generate_world, _gen_slab
 
 
 def build_world(size, factor, octaves, cache_dir=".worlds_cache"):
     X, Y, Z = size
 
     def gen():
-        def slab_fn(z0):
-            return np.asarray(_gen_slab(z0, (X, Y, factor), 0x71889283, octaves))
-
-        return build_brickmap_from_fn(slab_fn, size, factor, dense_slots=True)
+        return build_brickmap_terrain(size, factor, octaves=octaves)
 
     key = f"terrain_{X}x{Y}x{Z}_f{factor}_o{octaves}"
     return generate_or_load(cache_dir, key, gen)

@@ -71,26 +71,19 @@ class BitGrid:
         dense = jnp.asarray(dense)
         zdim, ydim, xdim = dense.shape
         dims = (xdim, ydim, zdim)
-        x, y, z = jnp.meshgrid(
-            jnp.arange(xdim), jnp.arange(ydim), jnp.arange(zdim), indexing="ij"
-        )
-        idx = sample_index(x, y, z, xdim, ydim, layout)
-        bits = jnp.zeros((words_for_bits(xdim * ydim * zdim) * 32,), jnp.bool_)
-        bits = bits.at[idx.reshape(-1)].set(dense.transpose(2, 1, 0).reshape(-1))
-        words = pack_bits(bits)
-        return BitGrid(words, dims, layout)
+        bits = layout_order_bits(dense, layout)
+        pad = words_for_bits(bits.shape[0]) * 32 - bits.shape[0]
+        if pad:
+            bits = jnp.concatenate([bits, jnp.zeros((pad,), jnp.bool_)])
+        return BitGrid(pack_bits(bits), dims, layout)
 
     # -- accessors ---------------------------------------------------------
 
     def to_dense(self) -> jax.Array:
         """Unpack to a dense bool array indexed ``[z, y, x]``."""
         xdim, ydim, zdim = self.dims
-        bits = unpack_bits(self.words)
-        x, y, z = jnp.meshgrid(
-            jnp.arange(xdim), jnp.arange(ydim), jnp.arange(zdim), indexing="ij"
-        )
-        idx = sample_index(x, y, z, xdim, ydim, self.layout)
-        return bits[idx].transpose(2, 1, 0)
+        bits = unpack_bits(self.words)[: xdim * ydim * zdim]
+        return layout_order_bits_inverse(bits, (xdim, ydim, zdim), self.layout)
 
     def get_bits(self, x, y, z):
         """Vectorized occupancy read at integer voxel coords.
@@ -127,6 +120,54 @@ class BitGrid:
     def count(self) -> jax.Array:
         """Population count over the whole grid (number of solid voxels)."""
         return jnp.sum(popcount32(self.words).astype(jnp.int32))
+
+
+def _morton_perm(n: int) -> np.ndarray:
+    """Static permutation: Morton index within an 8^3 tile -> linear
+    (z, y, x) offset within the tile."""
+    m = np.arange(512)
+
+    def compact(x):
+        x = x & 0x00249249
+        x = (x ^ (x >> 2)) & 0x000C30C3
+        x = (x ^ (x >> 4)) & 0x00000F00F
+        x = (x ^ (x >> 8)) & 0x0000000FF
+        return x
+
+    lx, ly, lz = compact(m), compact(m >> 1), compact(m >> 2)
+    return (lz * 64 + ly * 8 + lx).astype(np.int32)
+
+
+def layout_order_bits(dense: jax.Array, layout: Layout) -> jax.Array:
+    """Flatten a dense [Z, Y, X] bool array into layout bit order using pure
+    reshape/transpose (no scatter — XLA TPU scatters run on a slow scalar
+    path).  Tiled modes require dims divisible by 8, like the reference."""
+    zdim, ydim, xdim = dense.shape
+    if layout is Layout.LINEAR:
+        return dense.reshape(-1)
+    tz, ty, tx = zdim // 8, ydim // 8, xdim // 8
+    t = dense.reshape(tz, 8, ty, 8, tx, 8).transpose(0, 2, 4, 1, 3, 5)
+    if layout is Layout.TILED_LINEAR:
+        # tiles ordered (tz, ty, tx) x-fastest; within-tile (lz, ly, lx)
+        return t.reshape(-1)
+    # TILED_MORTON: permute within-tile bits into Morton order
+    flat = t.reshape(tz * ty * tx, 512)
+    return flat[:, jnp.asarray(_morton_perm(512))].reshape(-1)
+
+
+def layout_order_bits_inverse(bits: jax.Array, dims, layout: Layout) -> jax.Array:
+    """Inverse of :func:`layout_order_bits`: flat layout-order bits ->
+    dense [Z, Y, X]."""
+    xdim, ydim, zdim = dims
+    if layout is Layout.LINEAR:
+        return bits.reshape(zdim, ydim, xdim)
+    tz, ty, tx = zdim // 8, ydim // 8, xdim // 8
+    if layout is Layout.TILED_MORTON:
+        inv = np.empty(512, np.int32)
+        inv[_morton_perm(512)] = np.arange(512)
+        bits = bits.reshape(tz * ty * tx, 512)[:, jnp.asarray(inv)].reshape(-1)
+    t = bits.reshape(tz, ty, tx, 8, 8, 8)
+    return t.transpose(0, 3, 1, 4, 2, 5).reshape(zdim, ydim, xdim)
 
 
 def pack_bits(bits: jax.Array) -> jax.Array:

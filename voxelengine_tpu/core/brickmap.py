@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from voxelengine_tpu.core.bitgrid import BitGrid, pack_bits
+from voxelengine_tpu.core.bitgrid import BitGrid, layout_order_bits, pack_bits
 from voxelengine_tpu.core.layout import Layout, sample_index
 
 # meta word layout (factor <= 32 so 5 bits per bound field):
@@ -172,21 +172,79 @@ def _slab_to_chunks(slab, factor: int, chunks_y: int, chunks_x: int, brick_layou
     bmin = jnp.stack([xlo, ylo, zlo], axis=-1) * occ[..., None]
     bmax = jnp.where(occ[..., None], jnp.stack([xhi, yhi, zhi], axis=-1), -1)
 
-    # brick bit packing in brick_layout order: build bit index per voxel
-    lx = jnp.arange(f)[None, None, :]
-    ly = jnp.arange(f)[None, :, None]
-    lz = jnp.arange(f)[:, None, None]
-    bit = sample_index(lx, ly, lz, f, f, brick_layout)  # [f,f,f] (z,y,x)
+    # brick bit packing in brick_layout order via reshape/transpose
+    # (scatter-free — XLA TPU scatters are scalar-unit slow)
+    cc = c.reshape(chunks_y * chunks_x, f, f, f)  # [chunk, z, y, x]
+    flat = jax.vmap(lambda blk: layout_order_bits(blk, brick_layout))(cc)
     nbits = max(32, f**3)
-    flat = jnp.zeros((chunks_y * chunks_x, nbits), jnp.bool_)
-    cc = c.reshape(chunks_y * chunks_x, f, f, f)
-    flat = flat.at[:, bit.reshape(-1)].set(cc.reshape(cc.shape[0], -1))
+    if flat.shape[1] < nbits:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], nbits - flat.shape[1]), jnp.bool_)], axis=1
+        )
     words = jax.vmap(pack_bits)(flat)
     return (
         occ.reshape(-1),
         bmin.reshape(-1, 3),
         bmax.reshape(-1, 3),
         words,
+    )
+
+
+def build_brickmap_terrain(
+    world_dims: Tuple[int, int, int],
+    factor: int,
+    seed: int = 0x71889283,
+    octaves: int = 32,
+    brick_layout: Layout = Layout.TILED_LINEAR,
+) -> BrickMap:
+    """Fully device-side terrain world build: fuses worldgen + brickmap
+    reduction per chunk-slab under one jit and never round-trips dense
+    voxels through the host (the host<->device link can be orders of
+    magnitude slower than HBM).  Produces a ``dense_slots`` brickmap with
+    LINEAR coarse layout (build order == layout order, so no permutation
+    pass is needed).
+
+    Equivalent of ``CreateVoxels`` + ``GenerateLowresVoxelBuffer``
+    (``VoxelWorldBuilder.cuh:12-32``, ``VolumeRaytracer.cuh:379``) in one
+    streaming pass.
+    """
+    from voxelengine_tpu.worldgen.terrain import solid_at  # cycle-free import
+
+    X, Y, Z = world_dims
+    f = factor
+    assert X % f == 0 and Y % f == 0 and Z % f == 0 and f <= 32
+    gx, gy, gz = X // f, Y // f, Z // f
+    brick_layout = choose_layout((f, f, f), brick_layout)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def do_slab(z0):
+        z = z0 + jnp.arange(f)[:, None, None]
+        y = jnp.arange(Y)[None, :, None]
+        x = jnp.arange(X)[None, None, :]
+        slab = solid_at(x, y, z, seed, octaves)
+        return _slab_to_chunks(slab, f, gy, gx, brick_layout)
+
+    occs, bmins, bmaxs, words = [], [], [], []
+    for cz in range(gz):
+        occ, bmn, bmx, w = do_slab(jnp.int32(cz * f))
+        occs.append(occ)
+        bmins.append(bmn)
+        bmaxs.append(bmx)
+        words.append(w)
+    occ = jnp.concatenate(occs)
+    bmn = jnp.maximum(jnp.concatenate(bmins), 0)
+    bmx = jnp.maximum(jnp.concatenate(bmaxs), 0)
+    meta = pack_meta(occ, bmn, bmx)
+    bricks = jnp.concatenate(words)
+    return BrickMap(
+        meta=meta,
+        brick_idx=jnp.arange(gx * gy * gz, dtype=jnp.int32),
+        bricks=bricks,
+        grid_dims=(gx, gy, gz),
+        factor=f,
+        coarse_layout=Layout.LINEAR,
+        brick_layout=brick_layout,
+        dense_slots=True,
     )
 
 

@@ -195,16 +195,21 @@ def fade(t):
 
 
 # grad() switch table (cuda_noise.cuh:173-195).  Entries 0xC-0xF are the
-# reference's quirky duplicates: C:(x+y) D:(-y+z) E:(y-x) F:(-y-z).
-_GRAD_CX = jnp.asarray([1, -1, 1, -1, 1, -1, 1, -1, 0, 0, 0, 0, 1, 0, -1, 0], jnp.float32)
-_GRAD_CY = jnp.asarray([1, 1, -1, -1, 0, 0, 0, 0, 1, -1, 1, -1, 1, -1, 1, -1], jnp.float32)
-_GRAD_CZ = jnp.asarray([0, 0, 0, 0, 1, 1, -1, -1, 1, 1, -1, -1, 0, 1, 0, -1], jnp.float32)
-
-
+# reference's quirky duplicates: C:(x+y) D:(-y+z) E:(y-x) F:(-y-z) — i.e.
+# they alias entries 0, 9, 1 and 11.  Implemented as pure VPU arithmetic
+# (sign bits + axis-pair select) rather than a table gather: XLA TPU lowers
+# small-table gathers with huge index vectors to a very slow scalar path.
 def grad(h, x, y, z):
     """Gradient dot product keyed by ``h & 0xF`` (``cuda_noise.cuh:173-195``)."""
     i = (jnp.asarray(h).astype(jnp.uint32) & 0xF).astype(jnp.int32)
-    return _GRAD_CX[i] * x + _GRAD_CY[i] * y + _GRAD_CZ[i] * z
+    # remap the quirky duplicate entries onto their 0..11 aliases
+    i = jnp.where(i == 12, 0, jnp.where(i == 13, 9, jnp.where(i == 14, 1, jnp.where(i == 15, 11, i))))
+    b0 = (i & 1).astype(jnp.float32)
+    b1 = ((i >> 1) & 1).astype(jnp.float32)
+    g = i >> 2  # 0: (x,y)  1: (x,z)  2: (y,z)
+    first = jnp.where(g == 2, y, x)
+    second = jnp.where(g == 0, y, z)
+    return (1.0 - 2.0 * b0) * first + (1.0 - 2.0 * b1) * second
 
 
 # gradMap constant table for simplex noise (cuda_noise.cu:4-7): declared
@@ -521,13 +526,15 @@ def repeater_perlin(pos, scale, seed, n: int, lacunarity, decay):
     ``(i + 38) * 27389482`` (reference quirk preserved).
     """
     pos = _f32(pos)
-    acc = jnp.zeros(pos.shape[:-1], jnp.float32)
-    amp = jnp.float32(1.0)
-    scale = jnp.float32(scale)
-    for i in range(n):
-        acc = acc + perlin_noise(pos * scale, 1.0, (i + 38) * 27389482) * amp
-        scale = scale * _f32(lacunarity)
-        amp = amp * _f32(decay)
+
+    def octave(carry, i):
+        acc, scale, amp = carry
+        seed = (i + 38) * jnp.int32(27389482)
+        acc = acc + perlin_noise(pos * scale, 1.0, seed) * amp
+        return (acc, scale * _f32(lacunarity), amp * _f32(decay)), None
+
+    init = (jnp.zeros(pos.shape[:-1], jnp.float32), jnp.float32(scale), jnp.float32(1.0))
+    (acc, _, _), _ = jax.lax.scan(octave, init, jnp.arange(n, dtype=jnp.int32))
     return acc
 
 

@@ -145,7 +145,14 @@ def trace_brickmap(
     gdims = jnp.asarray([gx, gy, gz], I32)
     fdims = jnp.asarray([f, f, f], I32)
     wpb = bm.words_per_brick
-    bricks_flat = bm.bricks.reshape(-1)
+    num_chunks = bm.num_chunks
+    # one fused lookup table: [meta | brick words] so every traversal
+    # iteration issues exactly ONE gather op (XLA TPU gathers have a large
+    # fixed per-op cost on the scalar unit, so op count dominates).  The
+    # concat is loop-invariant and hoisted by XLA.
+    combined = jnp.concatenate(
+        [bm.meta, jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)]
+    )
 
     origins = jnp.asarray(origins, F32)
     d = _normalize(jnp.asarray(rays, F32))
@@ -199,14 +206,24 @@ def trace_brickmap(
         coarse_phase = st.active & ~st.in_fine
         fine_phase = st.active & st.in_fine
 
-        # ---------------- coarse level ----------------
+        # ---------------- shared single gather ----------------
         in_range_c = jnp.all(
             (st.ccell >= 0) & (st.ccell < gdims + cpad), axis=-1
         )
         cl = jnp.clip(st.ccell, 0, gdims - 1)
         ci = sample_index(cl[:, 0], cl[:, 1], cl[:, 2], gx, gy, bm.coarse_layout)
-        ci_safe = jnp.where(coarse_phase | fine_phase, ci, 0)
-        meta = bm.meta[ci_safe]
+        ci_safe = jnp.where(st.active, ci, 0)
+
+        cl_f = jnp.clip(st.fcell, 0, f - 1)
+        bit = sample_index(cl_f[:, 0], cl_f[:, 1], cl_f[:, 2], f, f, bm.brick_layout)
+        if bm.dense_slots:
+            slot = ci_safe  # identity indirection: no gather needed
+        else:
+            slot = jnp.maximum(bm.brick_idx[ci_safe], 0)
+        fine_addr = num_chunks + slot * wpb + (bit >> 5)
+        addr = jnp.where(fine_phase, fine_addr, ci_safe)
+        fetched = combined[addr]
+        meta = fetched  # coarse-phase view
         occ_c, bmn, bmx = unpack_meta(meta)
         box_min = cl.astype(F32) + bmn.astype(F32) / F32(f)
         box_max = cl.astype(F32) + (bmx.astype(F32) + 1.0) / F32(f)
@@ -232,11 +249,7 @@ def trace_brickmap(
 
         # ---------------- fine level ----------------
         in_range_f = jnp.all((st.fcell >= 0) & (st.fcell < fdims + st.fpad), axis=-1)
-        cl_f = jnp.clip(st.fcell, 0, f - 1)
-        slot = jnp.maximum(bm.brick_idx[ci_safe], 0)
-        bit = sample_index(cl_f[:, 0], cl_f[:, 1], cl_f[:, 2], f, f, bm.brick_layout)
-        widx = jnp.where(fine_phase, slot * wpb + (bit >> 5), 0)
-        word = bricks_flat[widx]
+        word = jax.lax.bitcast_convert_type(fetched, jnp.uint32)  # fine-phase view
         occ_f = ((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1
 
         fine_hit = fine_phase & in_range_f & occ_f
@@ -322,6 +335,34 @@ def trace_brickmap(
     pos = jnp.where(st.hit_imm[:, None], start_c * F32(f), st.pos_out)
     nrm = jnp.where(st.hit_imm[:, None], start_normal, st.norm_out)
     return TraceOut(hit=st.hit, position=pos, normal=nrm, steps=st.steps)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "tile"))
+def trace_brickmap_tiled(
+    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS, tile: int = 65536
+) -> TraceOut:
+    """Tiled traversal: processes the ray batch in fixed-size tiles via
+    ``lax.map`` so each tile's while-loop exits as soon as *its* rays
+    finish.  A full-batch loop runs every lane until the globally slowest
+    ray terminates (p99 path length ~4x the mean); tiling recovers most of
+    that waste — the TPU analog of independent GPU thread-block retirement.
+    """
+    origins = jnp.asarray(origins, F32)
+    rays = jnp.asarray(rays, F32)
+    n = origins.shape[0]
+    if n <= tile:
+        return trace_brickmap(bm, origins, rays, max_steps)
+    pad = (-n) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), F32)])
+        rays = jnp.concatenate([rays, jnp.ones((pad, 3), F32)])
+    to = origins.reshape(-1, tile, 3)
+    tr = rays.reshape(-1, tile, 3)
+    out = jax.lax.map(
+        lambda ar: trace_brickmap(bm, ar[0], ar[1], max_steps), (to, tr)
+    )
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:])[:n], out)
+    return TraceOut(*flat)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "take_initial_step"))
