@@ -248,6 +248,43 @@ def build_brickmap_terrain(
     )
 
 
+def compact_brickmap(bm: BrickMap, dedupe_uniform: bool = True) -> BrickMap:
+    """Convert a ``dense_slots`` brickmap to compact indirection on device.
+
+    Keeps one shared all-full brick (slot 0) and one brick per non-uniform
+    occupied chunk.  For terrain worlds this shrinks the brick table from
+    O(volume) to O(surface area) — e.g. 1024^3/f32: 134 MB -> a few MB —
+    which also moves traversal gathers onto much smaller tables.  Only the
+    keep-mask (num_chunks bits) round-trips to the host (for the static
+    output shape); brick words never leave the device.
+    """
+    assert bm.dense_slots, "compact_brickmap expects a dense_slots brickmap"
+    wpb = bm.words_per_brick
+    occ = ((bm.meta >> META_OCC_BIT) & 1) == 1
+    full_words = np.full((wpb,), 0xFFFFFFFF, np.uint32)
+    if bm.factor**3 % 32 != 0:
+        full_words = np.asarray(pack_bits(jnp.arange(wpb * 32) < bm.factor**3))
+    is_full = jnp.all(bm.bricks == jnp.asarray(full_words)[None, :], axis=1)
+    keep = np.asarray(occ & (~is_full if dedupe_uniform else True))
+    occ_h = np.asarray(occ)
+
+    kept_idx = np.nonzero(keep)[0].astype(np.int32)
+    slots = np.full(bm.num_chunks, -1, np.int32)
+    base = 1 if dedupe_uniform else 0
+    slots[kept_idx] = base + np.arange(kept_idx.shape[0], dtype=np.int32)
+    if dedupe_uniform:
+        slots[occ_h & ~keep] = 0
+
+    kept = jnp.take(bm.bricks, jnp.asarray(kept_idx), axis=0)
+    if dedupe_uniform:
+        bricks = jnp.concatenate([jnp.asarray(full_words)[None, :], kept])
+    else:
+        bricks = kept if kept.shape[0] else jnp.zeros((1, wpb), jnp.uint32)
+    return dataclasses.replace(
+        bm, brick_idx=jnp.asarray(slots), bricks=bricks, dense_slots=False
+    )
+
+
 def build_brickmap_from_fn(
     slab_fn: Callable[[int], np.ndarray],
     world_dims: Tuple[int, int, int],

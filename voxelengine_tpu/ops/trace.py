@@ -145,14 +145,11 @@ def trace_brickmap(
     gdims = jnp.asarray([gx, gy, gz], I32)
     fdims = jnp.asarray([f, f, f], I32)
     wpb = bm.words_per_brick
-    num_chunks = bm.num_chunks
-    # one fused lookup table: [meta | brick words] so every traversal
-    # iteration issues exactly ONE gather op (XLA TPU gathers have a large
-    # fixed per-op cost on the scalar unit, so op count dominates).  The
-    # concat is loop-invariant and hoisted by XLA.
-    combined = jnp.concatenate(
-        [bm.meta, jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)]
-    )
+    # NB: gathers must index *argument-backed* arrays directly.  Gathers
+    # from jit arguments vectorize at ~17 G elem/s on v5e; gathers from
+    # derived arrays (e.g. a concatenated [meta|bricks] table) get fused
+    # into the loop body and re-materialize the table every iteration.
+    bricks_flat = bm.bricks.reshape(-1)  # view, no copy
 
     origins = jnp.asarray(origins, F32)
     d = _normalize(jnp.asarray(rays, F32))
@@ -220,10 +217,7 @@ def trace_brickmap(
             slot = ci_safe  # identity indirection: no gather needed
         else:
             slot = jnp.maximum(bm.brick_idx[ci_safe], 0)
-        fine_addr = num_chunks + slot * wpb + (bit >> 5)
-        addr = jnp.where(fine_phase, fine_addr, ci_safe)
-        fetched = combined[addr]
-        meta = fetched  # coarse-phase view
+        meta = bm.meta[ci_safe]
         occ_c, bmn, bmx = unpack_meta(meta)
         box_min = cl.astype(F32) + bmn.astype(F32) / F32(f)
         box_max = cl.astype(F32) + (bmx.astype(F32) + 1.0) / F32(f)
@@ -249,7 +243,7 @@ def trace_brickmap(
 
         # ---------------- fine level ----------------
         in_range_f = jnp.all((st.fcell >= 0) & (st.fcell < fdims + st.fpad), axis=-1)
-        word = jax.lax.bitcast_convert_type(fetched, jnp.uint32)  # fine-phase view
+        word = bricks_flat[jnp.where(fine_phase, slot * wpb + (bit >> 5), 0)]
         occ_f = ((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1
 
         fine_hit = fine_phase & in_range_f & occ_f
