@@ -89,3 +89,9 @@ class RenderConfig:
     ao_samples: int = 0
     crosshair: bool = True  # Renderer.cu:260-268
     debug_pos_mod: float = 128.0  # Renderer.cu:217-222
+    # straggler compaction (ops.trace.trace_brickmap_staged): big win on
+    # wide frames where p99 ray path length >> mean.  stage_iters should
+    # exceed the scene's p99 event count for bit-identical results.
+    staged_trace: bool = True
+    stage_iters: int = 256
+    tail_frac: int = 16

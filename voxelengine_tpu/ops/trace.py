@@ -129,27 +129,22 @@ class _State(NamedTuple):
     fnorm: jax.Array
     pos_out: jax.Array
     norm_out: jax.Array
+    # per-ray constants (carried in the state so staged compaction can
+    # permute everything with one tree-mapped take)
+    start_c: jax.Array
+    d: jax.Array
+    tdelta: jax.Array
+    step_sign: jax.Array
+    cpad: jax.Array
+    start_normal: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
-def trace_brickmap(
-    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS
-) -> TraceOut:
-    """Trace a batch of rays through a two-level brickmap.
-
-    ``origins``/``rays`` are ``f32[N, 3]`` in world voxel units; rays need
-    not be normalized (normalized internally, ``VolumeRaytracer.cu:367``).
-    """
+def _init_state(bm: BrickMap, origins, rays) -> _State:
+    """Ray setup: normalization, world-AABB entry clip, DDA init
+    (``VolumeRaytracer.cu:354-381,195-232``)."""
     f = bm.factor
     gx, gy, gz = bm.grid_dims
     gdims = jnp.asarray([gx, gy, gz], I32)
-    fdims = jnp.asarray([f, f, f], I32)
-    wpb = bm.words_per_brick
-    # NB: gathers must index *argument-backed* arrays directly.  Gathers
-    # from jit arguments vectorize at ~17 G elem/s on v5e; gathers from
-    # derived arrays (e.g. a concatenated [meta|bricks] table) get fused
-    # into the loop body and re-materialize the table every iteration.
-    bricks_flat = bm.bricks.reshape(-1)  # view, no copy
 
     origins = jnp.asarray(origins, F32)
     d = _normalize(jnp.asarray(rays, F32))
@@ -171,7 +166,7 @@ def trace_brickmap(
     cpad = _edge_pad(ccell, gdims, d)
 
     zeros3 = jnp.zeros((n, 3), F32)
-    st = _State(
+    return _State(
         it=jnp.int32(0),
         active=inside | whit,
         in_fine=jnp.zeros((n,), bool),
@@ -192,9 +187,27 @@ def trace_brickmap(
         fnorm=zeros3,
         pos_out=zeros3,
         norm_out=zeros3,
+        start_c=start_c,
+        d=d,
+        tdelta=tdelta,
+        step_sign=step_sign,
+        cpad=cpad,
+        start_normal=start_normal,
     )
 
-    iter_limit = 2 * max_steps + 8
+
+def _run_loop(bm: BrickMap, st: _State, max_steps: int, iter_limit: int) -> _State:
+    """Advance every active ray by up to ``iter_limit`` DDA events."""
+    f = bm.factor
+    gx, gy, gz = bm.grid_dims
+    gdims = jnp.asarray([gx, gy, gz], I32)
+    fdims = jnp.asarray([f, f, f], I32)
+    wpb = bm.words_per_brick
+    # NB: gathers must index *argument-backed* arrays directly.  Gathers
+    # from derived arrays (e.g. a concatenated [meta|bricks] table) get
+    # fused into the loop body and re-materialize the table each iteration.
+    bricks_flat = bm.bricks.reshape(-1)  # view, no copy
+    st = st._replace(it=jnp.int32(0))
 
     def cond(st: _State):
         return (st.it < iter_limit) & jnp.any(st.active)
@@ -205,7 +218,7 @@ def trace_brickmap(
 
         # ---------------- shared single gather ----------------
         in_range_c = jnp.all(
-            (st.ccell >= 0) & (st.ccell < gdims + cpad), axis=-1
+            (st.ccell >= 0) & (st.ccell < gdims + st.cpad), axis=-1
         )
         cl = jnp.clip(st.ccell, 0, gdims - 1)
         ci = sample_index(cl[:, 0], cl[:, 1], cl[:, 2], gx, gy, bm.coarse_layout)
@@ -221,7 +234,7 @@ def trace_brickmap(
         occ_c, bmn, bmx = unpack_meta(meta)
         box_min = cl.astype(F32) + bmn.astype(F32) / F32(f)
         box_max = cl.astype(F32) + (bmx.astype(F32) + 1.0) / F32(f)
-        bhit, btmin, bpos, bnrm = ray_aabb(start_c, d, box_min, box_max)
+        bhit, btmin, bpos, bnrm = ray_aabb(st.start_c, st.d, box_min, box_max)
 
         occupied = in_range_c & occ_c & bhit
         descend = coarse_phase & occupied
@@ -234,12 +247,12 @@ def trace_brickmap(
         # the reference's degenerate case (VolumeRaytracer.cu:518-522).
         imm_new = (st.steps == 0) & (btmin <= 0.0)
         entry_c = jnp.where(
-            (btmin > 0.0)[:, None], bpos, start_c + d * st.centry_t[:, None]
+            (btmin > 0.0)[:, None], bpos, st.start_c + st.d * st.centry_t[:, None]
         )
         fstart_new = (entry_c - cl.astype(F32)) * F32(f)
         fcell_new = fstart_new.astype(I32)
-        ftmax_new = _init_tmax(fcell_new, fstart_new, d, step_sign)
-        fpad_new = _edge_pad(fcell_new, fdims, d)
+        ftmax_new = _init_tmax(fcell_new, fstart_new, st.d, st.step_sign)
+        fpad_new = _edge_pad(fcell_new, fdims, st.d)
 
         # ---------------- fine level ----------------
         in_range_f = jnp.all((st.fcell >= 0) & (st.fcell < fdims + st.fpad), axis=-1)
@@ -250,7 +263,7 @@ def trace_brickmap(
         fine_try = fine_phase & in_range_f & ~occ_f
 
         axis_f, tcross_f, isect_f, fcell_adv, ftmax_adv, fnorm_adv = _advance(
-            st.fcell, st.ftmax, tdelta, step_sign, st.fstart, d
+            st.fcell, st.ftmax, st.tdelta, st.step_sign, st.fstart, st.d
         )
         oob_f = jnp.any((isect_f < 0.0) | (isect_f > F32(f)), axis=-1)
         fine_step = fine_try & ~oob_f
@@ -259,7 +272,7 @@ def trace_brickmap(
         # ---------------- apply: coarse advance (coarse_adv | ascend) -----
         do_cadv = coarse_adv | ascend
         _, tcross_c, _, ccell_adv, ctmax_adv, _ = _advance(
-            st.ccell, st.ctmax, tdelta, step_sign, start_c, d
+            st.ccell, st.ctmax, st.tdelta, st.step_sign, st.start_c, st.d
         )
 
         new_ccell = jnp.where(do_cadv[:, None], ccell_adv, st.ccell)
@@ -320,15 +333,93 @@ def trace_brickmap(
             fnorm=new_fnorm,
             pos_out=new_pos_out,
             norm_out=new_norm_out,
+            start_c=st.start_c,
+            d=st.d,
+            tdelta=st.tdelta,
+            step_sign=st.step_sign,
+            cpad=st.cpad,
+            start_normal=st.start_normal,
         )
 
-    st = jax.lax.while_loop(cond, body, st)
+    return jax.lax.while_loop(cond, body, st)
 
+
+def _finalize(st: _State, factor: int) -> TraceOut:
     # degenerate hit at the ray start: clipped entry point + world-AABB
     # entry normal (VolumeRaytracer.cu:518-522)
-    pos = jnp.where(st.hit_imm[:, None], start_c * F32(f), st.pos_out)
-    nrm = jnp.where(st.hit_imm[:, None], start_normal, st.norm_out)
+    pos = jnp.where(st.hit_imm[:, None], st.start_c * F32(factor), st.pos_out)
+    nrm = jnp.where(st.hit_imm[:, None], st.start_normal, st.norm_out)
     return TraceOut(hit=st.hit, position=pos, normal=nrm, steps=st.steps)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def trace_brickmap(
+    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS
+) -> TraceOut:
+    """Trace a batch of rays through a two-level brickmap.
+
+    ``origins``/``rays`` are ``f32[N, 3]`` in world voxel units; rays need
+    not be normalized (normalized internally, ``VolumeRaytracer.cu:367``).
+    """
+    st = _init_state(bm, origins, rays)
+    st = _run_loop(bm, st, max_steps, 2 * max_steps + 8)
+    return _finalize(st, bm.factor)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "stage_iters", "tail_frac")
+)
+def trace_brickmap_staged(
+    bm: BrickMap,
+    origins,
+    rays,
+    max_steps: int = MAX_STEPS,
+    stage_iters: int = 192,
+    tail_frac: int = 16,
+) -> TraceOut:
+    """Traversal with straggler compaction.
+
+    A lockstep batch pays ``max-over-rays`` iterations on every lane; ray
+    path lengths are heavy-tailed (p50 ~ 40 events, p99 ~ 4x, stragglers to
+    the step budget), so most lane-iterations are waste.  This variant runs
+    a fixed first stage of ``stage_iters`` events on the full batch, then
+    compacts the still-active rays (argsort on the active mask -> one
+    tree-mapped take of the state) into an ``n // tail_frac`` buffer that
+    runs to the full budget — the TPU analog of GPU warp retirement.
+
+    If more than ``n // tail_frac`` rays survive stage one (statistically
+    rare: stage_iters is chosen beyond p99), the overflow rays keep their
+    stage-one result (budget-terminated), mirroring the reference's
+    ``maxSteps`` truncation semantics at a lower cap.
+    """
+    n = jnp.asarray(origins).shape[0]
+    tail_n = max(128, n // tail_frac)
+    st = _init_state(bm, origins, rays)
+    st = _run_loop(bm, st, max_steps, stage_iters)
+    out_full = _finalize(st, bm.factor)
+
+    # compact: active rays first (stable partition via argsort of ~active)
+    order = jnp.argsort(~st.active)
+    tail_idx = order[:tail_n]
+    st_tail = jax.tree.map(
+        lambda a: jnp.take(a, tail_idx, axis=0) if a.ndim >= 1 else a, st
+    )
+    st_tail = _run_loop(bm, st_tail, max_steps, 2 * max_steps + 8)
+    out_tail = _finalize(st_tail, bm.factor)
+
+    # merge tail results back (scatter at the tail indices)
+    sel = jnp.take(st.active, tail_idx)  # only overwrite rays that resumed
+    def merge(full, tail):
+        t = jnp.where(sel.reshape((-1,) + (1,) * (tail.ndim - 1)), tail,
+                      jnp.take(full, tail_idx, axis=0))
+        return full.at[tail_idx].set(t)
+
+    return TraceOut(
+        hit=merge(out_full.hit, out_tail.hit),
+        position=merge(out_full.position, out_tail.position),
+        normal=merge(out_full.normal, out_tail.normal),
+        steps=merge(out_full.steps, out_tail.steps),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "tile"))

@@ -37,7 +37,7 @@ from voxelengine_tpu.config import (
 )
 from voxelengine_tpu.core.brickmap import BrickMap
 from voxelengine_tpu.ops.noise import random_float
-from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap
+from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap, trace_brickmap_staged
 from voxelengine_tpu.render import camera as cam
 from voxelengine_tpu.render.shading import calculate_color, reflect, tonemap
 
@@ -127,7 +127,13 @@ def shade_pixels(
     shared by the single-device and sharded render paths.
     """
     W, H = cfg.width, cfg.height
-    out: TraceOut = trace_brickmap(bm, origins, dirs, cfg.max_steps)
+    if cfg.staged_trace:
+        out: TraceOut = trace_brickmap_staged(
+            bm, origins, dirs, cfg.max_steps,
+            stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac,
+        )
+    else:
+        out = trace_brickmap(bm, origins, dirs, cfg.max_steps)
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
 
