@@ -56,7 +56,11 @@ def main():
     log(f"world {dims} build: {time.perf_counter()-t0:.1f}s; "
         f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB)")
 
-    cfg = RenderConfig(width=1920, height=1080, checkerboard=True)
+    cfg = RenderConfig(
+        width=1920, height=1080, checkerboard=True,
+        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "256")),
+        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "16")),
+    )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
     origin = jnp.asarray([dims[0] / 2, 380.0, dims[2] / 2], jnp.float32)
