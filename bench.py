@@ -41,6 +41,7 @@ def main():
 
     from voxelengine_tpu.config import Environment, RenderConfig
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain
+    from voxelengine_tpu.ops.trace import make_fused_table
     from voxelengine_tpu.render.frame import make_framebuffer, render_frame
     from voxelengine_tpu.ops.trace import trace_brickmap
     from voxelengine_tpu.render.frame import primary_rays
@@ -55,10 +56,11 @@ def main():
     bm.meta.block_until_ready()
     log(f"world {dims} build: {time.perf_counter()-t0:.1f}s; "
         f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB)")
+    fused = make_fused_table(bm)
 
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
-        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "128")),
+        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "96")),
         tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "8")),
     )
     env = Environment.default()
@@ -69,14 +71,14 @@ def main():
 
     fb = make_framebuffer(cfg)
     t0 = time.perf_counter()
-    fb = render_frame(bm, fb, origin, euler, env, jnp.int32(0), cfg)
+    fb = render_frame(bm, fb, origin, euler, env, jnp.int32(0), cfg, fused)
     fb.block_until_ready()
     log(f"first frame (compile+run): {time.perf_counter()-t0:.1f}s")
 
     times = []
     for i in range(1, frames + 1):
         t0 = time.perf_counter()
-        fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg)
+        fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg, fused)
         fb.block_until_ready()
         times.append(time.perf_counter() - t0)
     frame_ms = float(np.median(times)) * 1000.0

@@ -196,16 +196,28 @@ def _init_state(bm: BrickMap, origins, rays) -> _State:
     )
 
 
-def _run_loop(bm: BrickMap, st: _State, max_steps: int, iter_limit: int) -> _State:
+def make_fused_table(bm: BrickMap) -> jax.Array:
+    """One flat int32 lookup table [meta | brick words] so each traversal
+    iteration issues a single gather.  Build OUTSIDE jit and pass in as an
+    argument — a concat built inside the traced function may be fused into
+    the loop body and re-materialized every iteration."""
+    return jax.jit(
+        lambda m, b: jnp.concatenate(
+            [m, jax.lax.bitcast_convert_type(b.reshape(-1), jnp.int32)]
+        )
+    )(bm.meta, bm.bricks)
+
+
+def _run_loop(
+    bm: BrickMap, st: _State, max_steps: int, iter_limit: int, fused=None
+) -> _State:
     """Advance every active ray by up to ``iter_limit`` DDA events."""
     f = bm.factor
     gx, gy, gz = bm.grid_dims
     gdims = jnp.asarray([gx, gy, gz], I32)
     fdims = jnp.asarray([f, f, f], I32)
     wpb = bm.words_per_brick
-    # NB: gathers must index *argument-backed* arrays directly.  Gathers
-    # from derived arrays (e.g. a concatenated [meta|bricks] table) get
-    # fused into the loop body and re-materialize the table each iteration.
+    num_chunks = bm.num_chunks
     bricks_flat = bm.bricks.reshape(-1)  # view, no copy
     st = st._replace(it=jnp.int32(0))
 
@@ -230,7 +242,13 @@ def _run_loop(bm: BrickMap, st: _State, max_steps: int, iter_limit: int) -> _Sta
             slot = ci_safe  # identity indirection: no gather needed
         else:
             slot = jnp.maximum(bm.brick_idx[ci_safe], 0)
-        meta = bm.meta[ci_safe]
+        if fused is not None:
+            # single gather serves both levels (argument-backed table)
+            fine_addr = num_chunks + slot * wpb + (bit >> 5)
+            fetched = fused[jnp.where(fine_phase, fine_addr, ci_safe)]
+            meta = fetched
+        else:
+            meta = bm.meta[ci_safe]
         occ_c, bmn, bmx = unpack_meta(meta)
         box_min = cl.astype(F32) + bmn.astype(F32) / F32(f)
         box_max = cl.astype(F32) + (bmx.astype(F32) + 1.0) / F32(f)
@@ -256,7 +274,10 @@ def _run_loop(bm: BrickMap, st: _State, max_steps: int, iter_limit: int) -> _Sta
 
         # ---------------- fine level ----------------
         in_range_f = jnp.all((st.fcell >= 0) & (st.fcell < fdims + st.fpad), axis=-1)
-        word = bricks_flat[jnp.where(fine_phase, slot * wpb + (bit >> 5), 0)]
+        if fused is not None:
+            word = jax.lax.bitcast_convert_type(fetched, jnp.uint32)
+        else:
+            word = bricks_flat[jnp.where(fine_phase, slot * wpb + (bit >> 5), 0)]
         occ_f = ((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1
 
         fine_hit = fine_phase & in_range_f & occ_f
@@ -354,20 +375,22 @@ def _finalize(st: _State, factor: int) -> TraceOut:
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def trace_brickmap(
-    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS
+    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS, fused=None
 ) -> TraceOut:
     """Trace a batch of rays through a two-level brickmap.
 
     ``origins``/``rays`` are ``f32[N, 3]`` in world voxel units; rays need
     not be normalized (normalized internally, ``VolumeRaytracer.cu:367``).
+    ``fused`` (optional): prebuilt :func:`make_fused_table` for
+    single-gather iterations.
     """
     st = _init_state(bm, origins, rays)
-    st = _run_loop(bm, st, max_steps, 2 * max_steps + 8)
+    st = _run_loop(bm, st, max_steps, 2 * max_steps + 8, fused)
     return _finalize(st, bm.factor)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_steps", "stage_iters", "tail_frac")
+    jax.jit, static_argnames=("max_steps", "stage_iters", "tail_frac", "schedule")
 )
 def trace_brickmap_staged(
     bm: BrickMap,
@@ -376,50 +399,64 @@ def trace_brickmap_staged(
     max_steps: int = MAX_STEPS,
     stage_iters: int = 192,
     tail_frac: int = 16,
+    fused=None,
+    schedule=None,
 ) -> TraceOut:
-    """Traversal with straggler compaction.
+    """Traversal with multi-stage straggler compaction.
 
     A lockstep batch pays ``max-over-rays`` iterations on every lane; ray
     path lengths are heavy-tailed (p50 ~ 40 events, p99 ~ 4x, stragglers to
     the step budget), so most lane-iterations are waste.  This variant runs
-    a fixed first stage of ``stage_iters`` events on the full batch, then
-    compacts the still-active rays (argsort on the active mask -> one
-    tree-mapped take of the state) into an ``n // tail_frac`` buffer that
-    runs to the full budget — the TPU analog of GPU warp retirement.
+    fixed-length stages; between stages the still-active rays are compacted
+    (argsort on the active mask -> one tree-mapped take of the state) into
+    a smaller buffer — the TPU analog of GPU warp retirement.
 
-    If more than ``n // tail_frac`` rays survive stage one (statistically
-    rare: stage_iters is chosen beyond p99), the overflow rays keep their
-    stage-one result (budget-terminated), mirroring the reference's
-    ``maxSteps`` truncation semantics at a lower cap.
+    ``schedule``: static tuple of ``(iters, frac)``: stage k runs ``iters``
+    events on a buffer of ``n // frac`` rays.  The last stage should use
+    ``iters >= 2 * max_steps``.  Default: ``((stage_iters, 1),
+    (stage_iters * 2, tail_frac), (2 * max_steps + 8, tail_frac * 8))``.
+
+    If a stage's survivors exceed the next buffer (statistically rare when
+    stage lengths sit beyond the survivor percentiles), the overflow rays
+    keep their truncated result — mirroring the reference's ``maxSteps``
+    truncation at a lower cap.
     """
     n = jnp.asarray(origins).shape[0]
-    tail_n = max(128, n // tail_frac)
+    if schedule is None:
+        schedule = (
+            (stage_iters, 1),
+            (stage_iters * 2, tail_frac),
+            (2 * max_steps + 8, tail_frac * 8),
+        )
+
     st = _init_state(bm, origins, rays)
-    st = _run_loop(bm, st, max_steps, stage_iters)
-    out_full = _finalize(st, bm.factor)
+    st = _run_loop(bm, st, max_steps, schedule[0][0], fused)
+    outs = _finalize(st, bm.factor)
 
-    # compact: active rays first (stable partition via argsort of ~active)
-    order = jnp.argsort(~st.active)
-    tail_idx = order[:tail_n]
-    st_tail = jax.tree.map(
-        lambda a: jnp.take(a, tail_idx, axis=0) if a.ndim >= 1 else a, st
-    )
-    st_tail = _run_loop(bm, st_tail, max_steps, 2 * max_steps + 8)
-    out_tail = _finalize(st_tail, bm.factor)
+    idx = None  # current buffer position -> original ray index
+    for iters, frac in schedule[1:]:
+        buf_n = max(128, n // frac)
+        order = jnp.argsort(~st.active)[:buf_n]
+        sel = jnp.take(st.active, order)  # rays actually resuming
+        st = jax.tree.map(
+            lambda a: jnp.take(a, order, axis=0) if a.ndim >= 1 else a, st
+        )
+        idx = order if idx is None else jnp.take(idx, order)
+        st = _run_loop(bm, st, max_steps, iters, fused)
+        out_k = _finalize(st, bm.factor)
 
-    # merge tail results back (scatter at the tail indices)
-    sel = jnp.take(st.active, tail_idx)  # only overwrite rays that resumed
-    def merge(full, tail):
-        t = jnp.where(sel.reshape((-1,) + (1,) * (tail.ndim - 1)), tail,
-                      jnp.take(full, tail_idx, axis=0))
-        return full.at[tail_idx].set(t)
+        def merge(full, tail):
+            keep = jnp.take(full, idx, axis=0)
+            t = jnp.where(sel.reshape((-1,) + (1,) * (tail.ndim - 1)), tail, keep)
+            return full.at[idx].set(t)
 
-    return TraceOut(
-        hit=merge(out_full.hit, out_tail.hit),
-        position=merge(out_full.position, out_tail.position),
-        normal=merge(out_full.normal, out_tail.normal),
-        steps=merge(out_full.steps, out_tail.steps),
-    )
+        outs = TraceOut(
+            hit=merge(outs.hit, out_k.hit),
+            position=merge(outs.position, out_k.position),
+            normal=merge(outs.normal, out_k.normal),
+            steps=merge(outs.steps, out_k.steps),
+        )
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "tile"))

@@ -120,6 +120,7 @@ def shade_pixels(
     env: Environment,
     frame_number,
     cfg: RenderConfig,
+    fused=None,
 ):
     """Trace + shade a flat pixel batch; returns ``(color [N,3], write [N])``.
 
@@ -130,10 +131,10 @@ def shade_pixels(
     if cfg.staged_trace:
         out: TraceOut = trace_brickmap_staged(
             bm, origins, dirs, cfg.max_steps,
-            stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac,
+            stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
         )
     else:
-        out = trace_brickmap(bm, origins, dirs, cfg.max_steps)
+        out = trace_brickmap(bm, origins, dirs, cfg.max_steps, fused=fused)
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
 
@@ -215,6 +216,7 @@ def render_frame(
     env: Environment,
     frame_number,
     cfg: RenderConfig,
+    fused=None,
 ) -> jax.Array:
     """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
 
@@ -225,7 +227,7 @@ def render_frame(
     H = cfg.height
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     color, write = shade_pixels(
-        bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+        bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused
     )
     # drop out-of-range rows and masked pixels (scatter mode="drop")
     py_w = jnp.where(write & (py < H), py, H)
