@@ -152,7 +152,7 @@ def main():
 
         fb = render_frame(
             rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
-            jnp.int32(frame), cfg,
+            jnp.int32(frame), cfg, rt.fused_table,
         )
         data.pixels[...] = np.asarray(to_bgra8(fb))
         frame += 1

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from voxelengine_tpu.config import MAX_STEPS
 from voxelengine_tpu.core.bitgrid import BitGrid
 from voxelengine_tpu.core.brickmap import BrickMap, apply_edits, build_brickmap
-from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap
+from voxelengine_tpu.ops.trace import TraceOut, make_fused_table, trace_brickmap
 
 F32 = jnp.float32
 
@@ -48,8 +48,8 @@ class RayTraceResults:
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
-def _batch_trace(bm: BrickMap, origins, rays, max_steps: int) -> RayTraceResults:
-    out: TraceOut = trace_brickmap(bm, origins, rays, max_steps)
+def _batch_trace(bm: BrickMap, origins, rays, max_steps: int, fused=None) -> RayTraceResults:
+    out: TraceOut = trace_brickmap(bm, origins, rays, max_steps, fused=fused)
     X, Y, _ = bm.world_dims
     inf3 = jnp.full((3,), jnp.inf, F32)
     hit_point = jnp.where(out.hit[:, None], out.position, inf3)
@@ -84,6 +84,7 @@ class VoxelRaytracer3D:
 
     def __init__(self, verbose_timing: bool = False):
         self._bm: Optional[BrickMap] = None
+        self._fused = None  # cached single-gather lookup table
         self._factor = 1
         self._verbose = verbose_timing
         self.last_kernel_ms: float = 0.0
@@ -93,6 +94,7 @@ class VoxelRaytracer3D:
     def upload_world(self, bm: BrickMap) -> None:
         """Upload a prebuilt brickmap (one device_put of flat arrays)."""
         self._bm = jax.device_put(bm)
+        self._fused = make_fused_table(self._bm)
         self._factor = bm.factor
 
     def upload_voxel_buffer(self, grid: BitGrid, factor: Optional[int] = None) -> None:
@@ -123,7 +125,7 @@ class VoxelRaytracer3D:
         origins = jnp.asarray(origins, F32)
         rays = jnp.asarray(rays, F32)
         t0 = time.perf_counter()
-        res = _batch_trace(bm, origins, rays, max_steps)
+        res = _batch_trace(bm, origins, rays, max_steps, self._fused)
         jax.block_until_ready(res.valid)
         self.last_kernel_ms = (time.perf_counter() - t0) * 1000.0
         if self._verbose:
@@ -135,3 +137,8 @@ class VoxelRaytracer3D:
     def edit_voxels(self, x, y, z, value) -> None:
         """Place/break voxels in-place (dense-slot worlds)."""
         self._bm = apply_edits(self.world, x, y, z, value)
+        self._fused = make_fused_table(self._bm)
+
+    @property
+    def fused_table(self):
+        return self._fused
