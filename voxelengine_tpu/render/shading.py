@@ -44,7 +44,9 @@ def calculate_color(cam_pos, normal, position, env: Environment, shadow_hit=None
     color = diffuse + ambient
 
     view = position - cam_pos
-    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+    # guard the zero-length case (camera exactly at the hit point, e.g.
+    # buried inside a solid voxel) — the reference NaNs here (normalize(0))
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-12)
     refl = reflect(jnp.broadcast_to(L, normal.shape), normal)
     spec = jnp.maximum(jnp.sum(view * refl, axis=-1), 0.0) ** 32
     color = color + jnp.where(shadow_hit, 0.0, spec)[..., None] * env.light_color
