@@ -64,13 +64,21 @@ def main():
     ap.add_argument("--debug-view", action="store_true")
     ap.add_argument("--outdir", default="frames")
     ap.add_argument("--record", action="store_true", help="save numbered PPMs")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense-grid world on the fused MXU kernel (worlds <= ~160^3; realtime)")
     args = ap.parse_args()
 
-    with timed("Voxel generation + buffer generation time"):  # main.cu:26,32
-        bm = build_world(tuple(args.size), args.factor, args.octaves)
+    if args.dense:
+        from voxelengine_tpu.worldgen.terrain import generate_world
 
-    rt = VoxelRaytracer3D()
-    rt.upload_world(bm)
+        with timed("Voxel generation time"):
+            grid = generate_world(tuple(args.size), octaves=args.octaves)
+        rt = None
+    else:
+        with timed("Voxel generation + buffer generation time"):  # main.cu:26,32
+            bm = build_world(tuple(args.size), args.factor, args.octaves)
+        rt = VoxelRaytracer3D()
+        rt.upload_world(bm)
 
     cfg = RenderConfig(
         width=args.width,
@@ -132,7 +140,7 @@ def main():
                 euler[0] -= 0.04
             elif ev.key == "down":
                 euler[0] += 0.04
-            elif ev.key in ("f", "g"):
+            elif ev.key in ("f", "g") and rt is not None:
                 # crosshair voxel break/place
                 from voxelengine_tpu.render.camera import get_directions
 
@@ -150,10 +158,18 @@ def main():
                         ev.key == "g",
                     )
 
-        fb = render_frame(
-            rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
-            jnp.int32(frame), cfg, rt.fused_table,
-        )
+        if args.dense:
+            from voxelengine_tpu.render.frame import render_frame_dense
+
+            fb = render_frame_dense(
+                grid, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
+                jnp.int32(frame), cfg,
+            )
+        else:
+            fb = render_frame(
+                rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
+                jnp.int32(frame), cfg, rt.fused_table,
+            )
         data.pixels[...] = np.asarray(to_bgra8(fb))
         frame += 1
         ema = timer.tick()

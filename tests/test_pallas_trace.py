@@ -60,3 +60,27 @@ def test_mxu_kernel_tile_padding(rng):
         g, jnp.asarray(origins), jnp.asarray(rays), tile=512, interpret=True
     )
     assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+
+
+def test_render_frame_dense_matches_brickmap(rng):
+    import jax.numpy as jnp
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.render.frame import (
+        make_framebuffer,
+        render_frame,
+        render_frame_dense,
+    )
+    from voxelengine_tpu.worldgen.terrain import generate_world
+
+    grid = generate_world((64, 64, 64), octaves=4)
+    bm = build_brickmap(grid, 8)
+    cfg = RenderConfig(width=64, height=48, checkerboard=False)
+    env = Environment.default()
+    o = jnp.asarray([32.0, 40.0, -20.0])
+    e = jnp.asarray([-0.35, 3.14159, 0.0])
+    a = render_frame(bm, make_framebuffer(cfg), o, e, env, jnp.int32(0), cfg)
+    b = render_frame_dense(
+        grid, make_framebuffer(cfg), o, e, env, jnp.int32(0), cfg, interpret=True
+    )
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5

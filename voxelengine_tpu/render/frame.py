@@ -135,12 +135,31 @@ def shade_pixels(
         )
     else:
         out = trace_brickmap(bm, origins, dirs, cfg.max_steps, fused=fused)
+    return shade_traced(bm, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg)
+
+
+def shade_traced(
+    bm,
+    out: TraceOut,
+    origins,
+    dirs,
+    px,
+    py,
+    py_r,
+    origin,
+    env: Environment,
+    frame_number,
+    cfg: RenderConfig,
+):
+    """Shading/compositing stage of ``screenDispatch`` given trace results;
+    ``bm`` is only needed for the optional shadow/AO secondary traces."""
+    W, H = cfg.width, cfg.height
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
 
     cam_pos = jnp.asarray(origin, F32)
     shadow_hit = None
-    if cfg.shadow_rays:
+    if cfg.shadow_rays and bm is not None:
         L = env.light_direction
         sres = trace_brickmap(
             bm, out.position + L * 0.01, jnp.broadcast_to(L, normal.shape), cfg.max_steps
@@ -152,7 +171,7 @@ def shade_pixels(
 
     if cfg.debug_view is DebugView.SHADED:
         color = calculate_color(cam_pos, normal, out.position, env, shadow_hit)
-        if cfg.ao_samples > 0:
+        if cfg.ao_samples > 0 and bm is not None:
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
             ao = _ambient_occlusion(bm, out.position, normal, px, py, frame_number, cfg)
             color = jnp.where((l_dot == 0.0)[:, None], color * ao[:, None], color)
@@ -240,3 +259,32 @@ def to_bgra8(fb: jax.Array) -> jax.Array:
     u8 = (jnp.clip(fb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     a = jnp.full(fb.shape[:-1] + (1,), 255, jnp.uint8)
     return jnp.concatenate([u8[..., 2:3], u8[..., 1:2], u8[..., 0:1], a], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret"), donate_argnums=(1,)
+)
+def render_frame_dense(
+    grid,
+    framebuffer: jax.Array,
+    origin,
+    euler,
+    env: Environment,
+    frame_number,
+    cfg: RenderConfig,
+    interpret: bool = False,
+) -> jax.Array:
+    """``render_frame`` over a dense :class:`BitGrid` world using the fused
+    MXU traversal kernel (:func:`voxelengine_tpu.ops.pallas_trace.trace_grid_mxu`)
+    — realtime rates for worlds whose packed bits fit VMEM (<= ~160^3).
+    Shadow/AO secondary rays are not supported on this path."""
+    from voxelengine_tpu.ops.pallas_trace import trace_grid_mxu
+
+    H = cfg.height
+    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    out = trace_grid_mxu(grid, origins, dirs, cfg.max_steps, interpret=interpret)
+    color, write = shade_traced(
+        None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+    )
+    py_w = jnp.where(write & (py < H), py, H)
+    return framebuffer.at[py_w, px].set(color, mode="drop")
