@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Run all five BASELINE.json configs and print a results table.
+
+This is the evidence harness behind BASELINE.md's measured table; the
+driver-facing single-metric bench is ``bench.py`` (config 4).
+
+  1. oracle hit-trace parity         (correctness gate, CPU oracle)
+  2. 64^3 dense grid, 256x256 depth  (MXU kernel + XLA path)
+  3. 512^3 brickmap @720p            (staged+fused XLA traversal)
+  4. 8k x 512 x 8k @1080p            (the headline; pass --full)
+  5. interactive edits               (place/break + re-trace latency)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from voxelengine_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def config1():
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.oracle import reference as R
+    from voxelengine_tpu.ops.trace import trace_brickmap
+    from voxelengine_tpu.core.brickmap import build_brickmap
+
+    rng = np.random.default_rng(1234)
+    dense = rng.random((32, 32, 32)) < 0.02
+    dense[:, 0:4, :] = rng.random((32, 4, 32)) < 0.5
+    bm = build_brickmap(BitGrid.from_dense(dense), 8)
+    coarse, cdims, brick, cbounds = R.make_brickmap_callbacks(dense, 8)
+    r2 = np.random.default_rng(5678)
+    n = 100
+    origins = (r2.random((n, 3)) * 64 - 16).astype(np.float32)
+    t = (r2.random((n, 3)) * 32).astype(np.float32)
+    d = (t - origins) / np.linalg.norm(t - origins, axis=1, keepdims=True)
+    out = trace_brickmap(bm, jnp.asarray(origins), jnp.asarray(d.astype(np.float32)))
+    mism = 0
+    for i in range(n):
+        res = R.raytrace_brickmap(coarse, cdims, brick, cbounds, 8, origins[i], d[i])
+        if bool(out.hit[i]) != res.hit:
+            mism += 1
+    return f"oracle parity: {n - mism}/{n} rays exact"
+
+
+def config2():
+    from voxelengine_tpu.ops.pallas_trace import trace_grid_mxu
+    from voxelengine_tpu.worldgen.terrain import generate_world
+
+    g = generate_world((64, 64, 64), octaves=8)
+    W = H = 256
+    u, v = np.meshgrid((np.arange(W) + 0.5) / W, (np.arange(H) + 0.5) / H)
+    o = np.stack([np.full(u.size, 32.0), np.full(u.size, 90.0), np.full(u.size, -40.0)], -1)
+    d = np.stack([(u.reshape(-1) - 0.5) * 1.2, -np.ones(u.size) * 0.9, np.ones(u.size)], -1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    oj, dj = jnp.asarray(o.astype(np.float32)), jnp.asarray(d.astype(np.float32))
+    out = trace_grid_mxu(g, oj, dj)
+    out.hit.block_until_ready()
+    # pipelined (async dispatch, like a real frame loop): amortizes the
+    # host->device dispatch latency
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = trace_grid_mxu(g, oj, dj)
+    out.hit.block_until_ready()
+    ms = (time.perf_counter() - t0) * 1000 / reps
+    return f"64^3 depth 256x256 (MXU kernel, pipelined): {ms:.2f} ms -> {W*H/ms/1000:.1f} Mrays/s"
+
+
+def config3():
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.core.brickmap import build_brickmap_terrain
+    from voxelengine_tpu.ops.trace import make_fused_table
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm = build_brickmap_terrain((512, 512, 512), 32, octaves=8)
+    fused = make_fused_table(bm)
+    cfg = RenderConfig(width=1280, height=720, checkerboard=True)
+    env = Environment.default()
+    o = jnp.asarray([256.0, 300.0, 256.0])
+    e = jnp.asarray([-0.35, 0.75, 0.0])
+    fb = make_framebuffer(cfg)
+    fb = render_frame(bm, fb, o, e, env, jnp.int32(0), cfg, fused)
+    fb.block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(1, 1 + reps):
+        fb = render_frame(bm, fb, o, e, env, jnp.int32(i), cfg, fused)
+    fb.block_until_ready()
+    ms = (time.perf_counter() - t0) * 1000 / reps
+    rays = cfg.width * cfg.height // 2
+    return f"512^3 @720p shaded checkerboard: {ms:.0f} ms/frame ({1000/ms:.1f} FPS, {rays/ms/1000:.2f} Mrays/s)"
+
+
+def config5():
+    from voxelengine_tpu import VoxelRaytracer3D
+    from voxelengine_tpu.core.brickmap import build_brickmap_terrain
+
+    rt = VoxelRaytracer3D()
+    rt.upload_world(build_brickmap_terrain((256, 256, 256), 32, octaves=8))
+    o = np.tile(np.asarray([[128, 200, 128]], np.float32), (1024, 1))
+    d = np.tile(np.asarray([[0.2, -1.0, 0.1]], np.float32), (1024, 1))
+    rt.raytrace(o, d)  # warm
+    xs = jnp.arange(64) + 64
+    t0 = time.perf_counter()
+    rt.edit_voxels(xs, jnp.full(64, 150), jnp.full(64, 128), True)
+    res = rt.raytrace(o, d)
+    jax.block_until_ready(res.valid)
+    ms = (time.perf_counter() - t0) * 1000
+    return f"edit 64 voxels + re-trace 1024 rays: {ms:.1f} ms"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="also run config 4 (bench.py)")
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}\n")
+    for fn in (config1, config2, config3, config5):
+        t0 = time.perf_counter()
+        line = fn()
+        print(f"[{fn.__name__}] {line}  (setup+run {time.perf_counter()-t0:.0f}s)", flush=True)
+    if args.full:
+        import subprocess
+
+        subprocess.run([sys.executable, "bench.py"])
+
+
+if __name__ == "__main__":
+    main()

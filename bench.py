@@ -75,13 +75,15 @@ def main():
     fb.block_until_ready()
     log(f"first frame (compile+run): {time.perf_counter()-t0:.1f}s")
 
-    times = []
+    # chained frame loop: frame k+1 consumes frame k's framebuffer, so all
+    # frames must execute; a single final block avoids counting the
+    # host<->device round-trip latency per frame (sustained throughput,
+    # like a real render loop)
+    t0 = time.perf_counter()
     for i in range(1, frames + 1):
-        t0 = time.perf_counter()
         fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg, fused)
-        fb.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    frame_ms = float(np.median(times)) * 1000.0
+    fb.block_until_ready()
+    frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
     mrays = rays_per_frame / frame_ms / 1000.0
 
     # diagnostics: step statistics on the same rays
