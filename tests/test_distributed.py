@@ -1,0 +1,68 @@
+"""Distributed z-slab world sharding tests (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from voxelengine_tpu.core.bitgrid import BitGrid
+from voxelengine_tpu.core.brickmap import build_brickmap
+from voxelengine_tpu.core.layout import Layout
+from voxelengine_tpu.ops.trace import trace_brickmap
+from voxelengine_tpu.parallel.distributed import shard_world_z, trace_brickmap_zsharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return Mesh(np.asarray(jax.devices()), ("shards",))
+
+
+def _world_and_rays(rng, n=1024):
+    dense = rng.random((64, 64, 64)) < 0.01
+    dense[:, :5, :] = rng.random((64, 5, 64)) < 0.5
+    bm = build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR)
+    origins = (rng.random((n, 3)) * 120 - 30).astype(np.float32)
+    t = (rng.random((n, 3)) * 64).astype(np.float32)
+    d = t - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return bm, jnp.asarray(origins), jnp.asarray(d.astype(np.float32))
+
+
+def test_shard_world_z_slices(rng):
+    bm, _, _ = _world_and_rays(rng)
+    meta, bricks, slab_gz = shard_world_z(bm, 8)
+    assert meta.shape == (8, 64 * 64 * 8 // 8 // 8 // 8)  # (gx*gy*slab_gz)=8*8*1
+    assert slab_gz == 1
+    assert np.array_equal(np.asarray(meta).reshape(-1), np.asarray(bm.meta))
+
+
+def test_zsharded_trace_matches_single_device(rng, mesh):
+    bm, o, d = _world_and_rays(rng)
+    a = trace_brickmap(bm, o, d)
+    b = trace_brickmap_zsharded(bm, o, d, mesh)
+    assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    assert np.array_equal(np.asarray(a.steps), np.asarray(b.steps))
+    hits = np.asarray(a.hit)
+    assert np.allclose(
+        np.asarray(a.position)[hits], np.asarray(b.position)[hits], atol=1e-5
+    )
+    assert np.array_equal(np.asarray(a.normal)[hits], np.asarray(b.normal)[hits])
+
+
+def test_zsharded_axis_aligned_migrators(rng, mesh):
+    """Rays marching straight through every slab (maximum migrations)."""
+    bm, _, _ = _world_and_rays(rng)
+    n = 256
+    xs = (rng.random(n) * 60 + 2).astype(np.float32)
+    ys = (rng.random(n) * 20 + 2).astype(np.float32)
+    o = np.stack([xs, ys, np.full(n, 63.5, np.float32)], -1)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    a = trace_brickmap(bm, jnp.asarray(o), jnp.asarray(d))
+    b = trace_brickmap_zsharded(bm, jnp.asarray(o), jnp.asarray(d), mesh)
+    assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    hits = np.asarray(a.hit)
+    assert np.allclose(
+        np.asarray(a.position)[hits], np.asarray(b.position)[hits], atol=1e-5
+    )

@@ -139,11 +139,14 @@ class _State(NamedTuple):
     start_normal: jax.Array
 
 
-def _init_state(bm: BrickMap, origins, rays) -> _State:
+def _init_state(bm: BrickMap, origins, rays, full_gz=None) -> _State:
     """Ray setup: normalization, world-AABB entry clip, DDA init
-    (``VolumeRaytracer.cu:354-381,195-232``)."""
+    (``VolumeRaytracer.cu:354-381,195-232``).  ``full_gz`` overrides the
+    grid's z extent when ``bm`` is a z-slab of a larger world."""
     f = bm.factor
     gx, gy, gz = bm.grid_dims
+    if full_gz is not None:
+        gz = full_gz
     gdims = jnp.asarray([gx, gy, gz], I32)
 
     origins = jnp.asarray(origins, F32)
@@ -209,12 +212,22 @@ def make_fused_table(bm: BrickMap) -> jax.Array:
 
 
 def _run_loop(
-    bm: BrickMap, st: _State, max_steps: int, iter_limit: int, fused=None
+    bm: BrickMap, st: _State, max_steps: int, iter_limit: int, fused=None,
+    slab=None,
 ) -> _State:
-    """Advance every active ray by up to ``iter_limit`` DDA events."""
+    """Advance every active ray by up to ``iter_limit`` DDA events.
+
+    ``slab=(z0, full_gz)``: distributed z-sharding hook.  ``bm`` holds only
+    the coarse-z slab ``[z0, z0 + bm.grid_dims[2])`` of a full grid whose z
+    extent is ``full_gz`` (static int; ``z0`` may be traced).  Rays whose
+    coarse cell leaves the slab while still inside the full grid are
+    *paused* (deactivated with state intact) so the neighboring device can
+    resume them; rays leaving the full grid miss as usual.
+    """
     f = bm.factor
     gx, gy, gz = bm.grid_dims
-    gdims = jnp.asarray([gx, gy, gz], I32)
+    full_gz = gz if slab is None else slab[1]
+    gdims = jnp.asarray([gx, gy, full_gz], I32)  # FULL grid for range tests
     fdims = jnp.asarray([f, f, f], I32)
     wpb = bm.words_per_brick
     num_chunks = bm.num_chunks
@@ -228,12 +241,24 @@ def _run_loop(
         coarse_phase = st.active & ~st.in_fine
         fine_phase = st.active & st.in_fine
 
+        # residency pause (distributed z-sharding): check BEFORE touching
+        # local tables, so the paused state is exactly resumable elsewhere
+        if slab is not None:
+            z0 = slab[0]
+            resident = (st.ccell[:, 2] >= z0) & (st.ccell[:, 2] < z0 + gz)
+            pause = coarse_phase & ~resident
+            coarse_phase = coarse_phase & resident
+        else:
+            z0 = 0
+            pause = jnp.zeros_like(st.active)
+
         # ---------------- shared single gather ----------------
         in_range_c = jnp.all(
             (st.ccell >= 0) & (st.ccell < gdims + st.cpad), axis=-1
         )
         cl = jnp.clip(st.ccell, 0, gdims - 1)
-        ci = sample_index(cl[:, 0], cl[:, 1], cl[:, 2], gx, gy, bm.coarse_layout)
+        zloc = jnp.clip(cl[:, 2] - z0, 0, gz - 1)
+        ci = sample_index(cl[:, 0], cl[:, 1], zloc, gx, gy, bm.coarse_layout)
         ci_safe = jnp.where(st.active, ci, 0)
 
         cl_f = jnp.clip(st.fcell, 0, f - 1)
@@ -331,7 +356,7 @@ def _run_loop(
         new_hit_imm = st.hit_imm | (fine_hit & (st.fsteps == 0) & st.imm)
 
         budget_dead = new_steps >= max_steps
-        new_active = st.active & ~fine_hit & ~coarse_miss & ~budget_dead
+        new_active = st.active & ~fine_hit & ~coarse_miss & ~budget_dead & ~pause
 
         return _State(
             it=st.it + 1,
