@@ -109,3 +109,55 @@ def test_miss_goes_out_of_bounds(small_world):
     d = np.array([[0.0, 1.0, 0.0]], F32)  # straight up
     out = trace_brickmap(bm, jnp.asarray(o), jnp.asarray(d))
     assert not bool(out.hit[0])
+
+
+def test_two_level_parity_factor16_32(rng):
+    """Larger brick factors (the demo uses 32, main.cu:21) against the
+    oracle and the dense-grid cross-check."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+
+    dense = rng.random((64, 64, 64)) < 0.01
+    dense[:, :6, :] = rng.random((64, 6, 64)) < 0.5
+    grid = BitGrid.from_dense(dense)
+    n = 120
+    origins = (rng.random((n, 3)) * 120 - 30).astype(F32)
+    t = (rng.random((n, 3)) * 64).astype(F32)
+    rays = t - origins
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    rays = rays.astype(F32)
+
+    ref = trace_grid(grid, jnp.asarray(origins), jnp.asarray(rays))
+    for f in (16, 32):
+        bm = build_brickmap(grid, f)
+        out = trace_brickmap(bm, jnp.asarray(origins), jnp.asarray(rays))
+        assert np.array_equal(np.asarray(out.hit), np.asarray(ref.hit)), f
+        hits = np.asarray(ref.hit)
+        assert np.allclose(
+            np.asarray(out.position)[hits], np.asarray(ref.position)[hits], atol=2e-3
+        ), f
+        # oracle spot-check on a subset
+        coarse, cdims, brick, cbounds = R.make_brickmap_callbacks(dense, f)
+        for i in range(0, n, 10):
+            res = R.raytrace_brickmap(
+                coarse, cdims, brick, cbounds, f, origins[i], rays[i]
+            )
+            assert res.hit == bool(out.hit[i]), (f, i)
+
+
+def test_trace_grid_take_initial_step(small_world):
+    """takeInitialStep skips the occupancy test at step 0
+    (VolumeRaytracer.cu:236-238) — a ray starting inside a solid voxel
+    escapes it."""
+    dense, grid, _ = small_world
+    z, y, x = np.nonzero(dense)
+    # find a solid voxel whose +x neighbor is empty
+    for i in range(len(x)):
+        if x[i] + 1 < 32 and not dense[z[i], y[i], x[i] + 1]:
+            break
+    o = jnp.asarray([[x[i] + 0.5, y[i] + 0.5, z[i] + 0.5]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    a = trace_grid(grid, o, d)  # hits its own voxel at step 0
+    b = trace_grid(grid, o, d, take_initial_step=True)
+    assert bool(a.hit[0]) and int(a.steps[0]) == 0
+    assert (not bool(b.hit[0])) or int(b.steps[0]) > 0
