@@ -60,8 +60,8 @@ def main():
 
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
-        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "96")),
-        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "8")),
+        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "64")),
+        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "4")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
