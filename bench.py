@@ -60,7 +60,7 @@ def main():
 
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
-        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "64")),
+        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "48")),
         tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "4")),
     )
     env = Environment.default()
