@@ -60,8 +60,8 @@ def main():
 
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
-        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "48")),
-        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "4")),
+        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "128")),
+        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "8")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
@@ -86,12 +86,22 @@ def main():
     frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
     mrays = rays_per_frame / frame_ms / 1000.0
 
-    # diagnostics: step statistics on the same rays
+    # diagnostics + honesty check: the staged/compacted traversal must
+    # reproduce the plain full-budget traversal (stage buffers sized beyond
+    # the survivor percentiles; truncation would show up here)
+    from voxelengine_tpu.ops.trace import trace_brickmap_staged
+
     o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
-    out = trace_brickmap(bm, o, d, cfg.max_steps)
+    out = trace_brickmap(bm, o, d, cfg.max_steps, fused=fused)
+    stg = trace_brickmap_staged(
+        bm, o, d, cfg.max_steps,
+        stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
+    )
+    diffs = int((np.asarray(out.hit) != np.asarray(stg.hit)).sum())
     steps = np.asarray(out.steps)
     log(f"frame: {frame_ms:.1f} ms  ({1000/frame_ms:.2f} FPS)  "
         f"hit-rate {np.asarray(out.hit).mean():.3f}  "
+        f"staged-vs-plain hit diffs {diffs}/{steps.size}  "
         f"steps mean {steps.mean():.1f} p99 {np.percentile(steps,99):.0f}")
 
     metric = "primary_mrays_per_s_1080p_checkerboard_" + ("1k" if small else "8k") + "_world"
