@@ -58,10 +58,19 @@ def main():
         f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB)")
     fused = make_fused_table(bm)
 
+    sched = os.environ.get(
+        "BENCH_SCHEDULE",
+        "48,1 48,2 48,4 48,8 48,16 4104,32",  # survivor-matched halving
+    )
+    schedule = (
+        tuple(tuple(int(v) for v in part.split(",")) for part in sched.split())
+        if sched else None
+    )
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
         stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "128")),
         tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "8")),
+        stage_schedule=schedule,
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
@@ -96,6 +105,7 @@ def main():
     stg = trace_brickmap_staged(
         bm, o, d, cfg.max_steps,
         stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
+        schedule=cfg.stage_schedule,
     )
     diffs = int((np.asarray(out.hit) != np.asarray(stg.hit)).sum())
     steps = np.asarray(out.steps)

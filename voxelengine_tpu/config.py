@@ -95,3 +95,7 @@ class RenderConfig:
     staged_trace: bool = True
     stage_iters: int = 256
     tail_frac: int = 16
+    # optional explicit compaction schedule ((iters, frac), ...) overriding
+    # the (stage_iters, tail_frac)-derived default; must be sized beyond the
+    # scene's survivor percentiles (bench.py verifies 0-diff per run)
+    stage_schedule: tuple = None

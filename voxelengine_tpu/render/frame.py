@@ -132,6 +132,7 @@ def shade_pixels(
         out: TraceOut = trace_brickmap_staged(
             bm, origins, dirs, cfg.max_steps,
             stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
+            schedule=cfg.stage_schedule,
         )
     else:
         out = trace_brickmap(bm, origins, dirs, cfg.max_steps, fused=fused)
