@@ -60,7 +60,7 @@ def main():
 
     sched = os.environ.get(
         "BENCH_SCHEDULE",
-        "48,1 48,2 48,4 48,8 48,16 4104,32",  # survivor-matched halving
+        "40,1 48,2 48,4 48,8 48,16 4104,32",  # survivor-matched halving
     )
     schedule = (
         tuple(tuple(int(v) for v in part.split(",")) for part in sched.split())
