@@ -1,12 +1,18 @@
 // Golden-value generator for the voxelengine_tpu noise library.
 //
-// Independent C++ implementation of the noise semantics documented in
-// voxelengine_tpu/ops/noise.py (Jenkins-style avalanche hash, grid randoms,
-// Perlin gradient noise, fBm repeater, terrain threshold), used to
-// cross-check the JAX port's bit-level integer semantics and fp32 math from
-// a second toolchain.  Float->integer conversions use explicit CUDA-style
-// saturation (cvt.rzi semantics) so behavior is defined and matches the
-// GPU reference on the positive-range inputs the engine uses.
+// NOT an independent implementation: the formulas below (hash rounds,
+// gradient table, Perlin corner evaluation, fBm repeater loop) are a
+// deliberate C++ transliteration of the reference noise semantics
+// (/root/reference/VoxelRT/cuda_noise.cuh:44-71,565-629) with the CUDA
+// decorations stripped -- bit-exactness against the reference formulas is
+// the whole point of a golden generator, so the statement order and
+// constants are kept verbatim.  It exists only as a cross-toolchain check:
+// the production implementation (voxelengine_tpu/ops/noise.py) is a
+// vectorized JAX redesign, and tests assert it matches these golden values
+// bit-for-bit (tests/test_noise.py).  Float->integer conversions use
+// explicit CUDA-style saturation (cvt.rzi semantics) so behavior is defined
+// and matches the GPU reference on the positive-range inputs the engine
+// uses.
 //
 // Usage: noise_golden > golden.json   (emits JSON test vectors)
 

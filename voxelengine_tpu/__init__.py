@@ -14,7 +14,7 @@ XLA reductions (no host threads), and scale-out is pixel-space sharding via
 ``shard_map`` over a ``jax.sharding.Mesh``.
 """
 
-from voxelengine_tpu.config import Environment, RenderConfig, TraceConfig
+from voxelengine_tpu.config import Environment, RenderConfig
 from voxelengine_tpu.core.bitgrid import BitGrid
 from voxelengine_tpu.core.brickmap import BrickMap, build_brickmap
 from voxelengine_tpu.engine.raytracer import RayTraceResults, VoxelRaytracer3D
@@ -27,7 +27,6 @@ __all__ = [
     "build_brickmap",
     "Environment",
     "RenderConfig",
-    "TraceConfig",
     "RayTraceResults",
     "VoxelRaytracer3D",
     "__version__",

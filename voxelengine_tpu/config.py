@@ -60,17 +60,6 @@ class Environment:
 
 
 @dataclasses.dataclass(frozen=True)
-class TraceConfig:
-    """Static traversal knobs (jit-static)."""
-
-    max_steps: int = MAX_STEPS
-    # Extra flattened-loop iteration allowance: level switches consume an
-    # iteration but not a DDA "step" in the reference's budget accounting
-    # (Raytrace counts only stepsTaken, VolumeRaytracer.cu:395,426).
-    use_tight_bounds: bool = True
-
-
-@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static per-renderer configuration (jit-static)."""
 

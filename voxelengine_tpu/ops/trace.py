@@ -484,34 +484,6 @@ def trace_brickmap_staged(
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "tile"))
-def trace_brickmap_tiled(
-    bm: BrickMap, origins, rays, max_steps: int = MAX_STEPS, tile: int = 65536
-) -> TraceOut:
-    """Tiled traversal: processes the ray batch in fixed-size tiles via
-    ``lax.map`` so each tile's while-loop exits as soon as *its* rays
-    finish.  A full-batch loop runs every lane until the globally slowest
-    ray terminates (p99 path length ~4x the mean); tiling recovers most of
-    that waste — the TPU analog of independent GPU thread-block retirement.
-    """
-    origins = jnp.asarray(origins, F32)
-    rays = jnp.asarray(rays, F32)
-    n = origins.shape[0]
-    if n <= tile:
-        return trace_brickmap(bm, origins, rays, max_steps)
-    pad = (-n) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), F32)])
-        rays = jnp.concatenate([rays, jnp.ones((pad, 3), F32)])
-    to = origins.reshape(-1, tile, 3)
-    tr = rays.reshape(-1, tile, 3)
-    out = jax.lax.map(
-        lambda ar: trace_brickmap(bm, ar[0], ar[1], max_steps), (to, tr)
-    )
-    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:])[:n], out)
-    return TraceOut(*flat)
-
-
 @functools.partial(jax.jit, static_argnames=("max_steps", "take_initial_step"))
 def trace_grid(
     grid: BitGrid, origins, rays, max_steps: int = MAX_STEPS,
