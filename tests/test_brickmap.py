@@ -155,3 +155,31 @@ def test_bitops_popcount(rng):
     w = rng.integers(0, 2**32, 128, dtype=np.uint32)
     got = lib.bit_popcount(w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w.size)
     assert got == sum(bin(v).count("1") for v in w)
+
+
+def test_terrain_compact_matches_dense_terrain():
+    """The direct-to-compact streaming terrain builder produces the exact
+    same world (meta, per-voxel occupancy) as dense-build + compaction."""
+    from voxelengine_tpu.core.brickmap import (
+        build_brickmap_terrain,
+        build_brickmap_terrain_compact,
+        compact_brickmap,
+    )
+
+    dims = (128, 64, 128)
+    dense_bm = build_brickmap_terrain(dims, 32, octaves=4)
+    ref = compact_brickmap(dense_bm)
+    got = build_brickmap_terrain_compact(dims, 32, octaves=4, bucket=8)
+
+    assert got.grid_dims == ref.grid_dims and got.factor == ref.factor
+    assert np.array_equal(np.asarray(got.meta), np.asarray(ref.meta))
+    # slot numbering may differ; compare resolved per-chunk brick contents
+    ref_words = np.asarray(ref.bricks)[np.maximum(np.asarray(ref.brick_idx), 0)]
+    got_words = np.asarray(got.bricks)[np.maximum(np.asarray(got.brick_idx), 0)]
+    occ = (np.asarray(ref.meta) >> 30) & 1
+    assert np.array_equal(ref_words[occ == 1], got_words[occ == 1])
+    assert np.array_equal(
+        np.asarray(got.brick_idx) >= 0, np.asarray(ref.brick_idx) >= 0
+    )
+    # compactness: far fewer bricks than chunks
+    assert got.bricks.shape[0] < got.num_chunks
