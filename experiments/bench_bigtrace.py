@@ -1,0 +1,93 @@
+"""On-TPU compile + perf check for ops.pallas_bigtrace.
+
+Usage: python experiments/bench_bigtrace.py [world] [n_rays]
+  world: small (512^3/f32), mid (1024^3), full (8k x 512 x 8k)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from voxelengine_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
+from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+from voxelengine_tpu.ops.trace import make_fused_table, trace_brickmap
+from voxelengine_tpu.render.frame import primary_rays
+from voxelengine_tpu.config import RenderConfig
+
+WORLDS = {
+    "tiny": (256, 64, 256),
+    "small": (512, 512, 512),
+    "mid": (1024, 512, 1024),
+    "full": (8192, 512, 8192),
+}
+
+
+def main():
+    world = sys.argv[1] if len(sys.argv) > 1 else "tiny"
+    n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 1920 * 1080 // 2
+    octaves = int(sys.argv[3]) if len(sys.argv) > 3 else (4 if world in ("tiny", "small") else 32)
+    dims = WORLDS[world]
+    print(f"devices: {jax.devices()}  world {dims} octaves {octaves}", flush=True)
+
+    t0 = time.perf_counter()
+    bm = build_brickmap_terrain_compact(dims, 32, octaves=octaves)
+    bm.meta.block_until_ready()
+    print(f"build: {time.perf_counter()-t0:.1f}s  bricks {bm.bricks.shape} "
+          f"({bm.bricks.nbytes/1e6:.0f} MB)", flush=True)
+    t0 = time.perf_counter()
+    lt = make_line_table(bm)
+    lt.lines.block_until_ready()
+    print(f"line table: {time.perf_counter()-t0:.1f}s  lines {lt.lines.shape} "
+          f"({lt.lines.nbytes/1e6:.0f} MB)  regions {lt.num_regions}", flush=True)
+
+    # camera rays: half-field 1080p-equivalent, from a hill looking across
+    cfg = RenderConfig(width=1920, height=1080 // 2, checkerboard=False)
+    origin = jnp.asarray([dims[0] / 2, min(380.0, dims[1] * 0.75), dims[2] / 2], jnp.float32)
+    euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
+    o, d, _, _, _ = primary_rays(cfg, origin, euler, jnp.int32(0))
+    o, d = o[:n_rays], d[:n_rays]
+
+    kw = dict(tile=1024, num_slots=16, inner_steps=8, dma_per_round=4)
+    t0 = time.perf_counter()
+    out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
+    out.hit.block_until_ready()
+    print(f"first call (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
+    out.hit.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    hit = np.asarray(out.hit)
+    steps = np.asarray(out.steps)
+    print(f"bigtrace: {dt*1000:.1f} ms for {n_rays} rays -> "
+          f"{n_rays/dt/1e6:.2f} Mrays/s  hit-rate {hit.mean():.3f}  "
+          f"steps mean {steps.mean():.1f} p99 {np.percentile(steps, 99):.0f}",
+          flush=True)
+
+    if "--verify" in sys.argv:
+        fused = make_fused_table(bm)
+        t0 = time.perf_counter()
+        ref = trace_brickmap(bm, o, d, 2048, fused=fused)
+        ref.hit.block_until_ready()
+        print(f"xla ref: {time.perf_counter()-t0:.1f}s", flush=True)
+        dh = int((np.asarray(ref.hit) != hit).sum())
+        ds = int((np.asarray(ref.steps) != steps).sum())
+        m = np.asarray(ref.hit) & hit
+        dp = float(np.abs(np.asarray(ref.position)[m] - np.asarray(out.position)[m]).max()) if m.any() else 0.0
+        print(f"verify vs XLA: hit diffs {dh}/{n_rays}  step diffs {ds}  "
+              f"pos maxdiff {dp}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,58 @@ def d7_1024_reshape_group():
     assert (np.asarray(out) == ref).all()
 
 
+def _fetch_pass(cache, slots, rows, lanes, S, G=8):
+    outs = []
+    for g in range(G):
+        sl = slots[g * 128 : (g + 1) * 128]
+        ro = rows[g * 128 : (g + 1) * 128]
+        la = lanes[g * 128 : (g + 1) * 128]
+        lane_rep = jnp.broadcast_to(la[None, :], (8, 128))
+        row_rep = jnp.broadcast_to(ro[None, :], (8, 128))
+        acc = jnp.zeros((128,), I32)
+        for s in range(S):
+            y = jnp.take_along_axis(cache[s * 8 : (s + 1) * 8, :], lane_rep, axis=1)
+            z = jnp.take_along_axis(y, row_rep, axis=0)
+            acc = jnp.where(sl == s, z[0, :], acc)
+        outs.append(acc)
+    return jnp.concatenate(outs)
+
+
+def d8_pass_once(S, G):
+    def kern(cache_ref, slots_ref, rows_ref, lanes_ref, o_ref):
+        o_ref[:] = _fetch_pass(cache_ref[:], slots_ref[:], rows_ref[:], lanes_ref[:], S, G)
+
+    n = G * 128
+    cache = jnp.arange(S * 8 * 128, dtype=I32).reshape(S * 8, 128)
+    b = jnp.arange(n, dtype=I32)
+    slots, rows, lanes = (b * 13) % S, (b * 7) % 8, (b * 29) % 128
+    out = run1(kern, jax.ShapeDtypeStruct((n,), I32), cache, slots, rows, lanes)
+    ref = np.asarray(cache).reshape(S, 8, 128)[np.asarray(slots), np.asarray(rows), np.asarray(lanes)]
+    assert (np.asarray(out) == ref).all()
+
+
+def d9_pass_in_fori(S, G):
+    def kern(cache_ref, slots_ref, rows_ref, lanes_ref, o_ref):
+        cache = cache_ref[:]
+
+        def body(i, c):
+            slots, rows, lanes, acc = c
+            vals = _fetch_pass(cache, slots, rows, lanes, S, G)
+            return (slots + (vals & 1)) % S, (rows + 1) % 8, (lanes + 3) % 128, acc + vals
+
+        _, _, _, acc = jax.lax.fori_loop(
+            0, 64, body,
+            (slots_ref[:], rows_ref[:], lanes_ref[:], jnp.zeros((G * 128,), I32)),
+        )
+        o_ref[:] = acc
+
+    n = G * 128
+    cache = jnp.arange(S * 8 * 128, dtype=I32).reshape(S * 8, 128)
+    b = jnp.arange(n, dtype=I32)
+    slots, rows, lanes = (b * 13) % S, (b * 7) % 8, (b * 29) % 128
+    run1(kern, jax.ShapeDtypeStruct((n,), I32), cache, slots, rows, lanes)
+
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     report("D1 ax1->ax0 chain [8,128]", d1_chain)
@@ -161,3 +213,7 @@ if __name__ == "__main__":
     report("D5 row-0 extract after ax0", d5_row_extract)
     report("D6 fori with mutated gather idx", d6_fori_mutating_idx)
     report("D7 reshape(8,128) row as lanes", d7_1024_reshape_group)
+    for S, G in ((2, 1), (8, 1), (2, 8), (8, 8), (16, 8)):
+        report(f"D8 full pass once S={S} G={G}", lambda S=S, G=G: d8_pass_once(S, G))
+    for S, G in ((2, 1), (8, 8)):
+        report(f"D9 pass in fori S={S} G={G}", lambda S=S, G=G: d9_pass_in_fori(S, G))

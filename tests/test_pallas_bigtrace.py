@@ -1,0 +1,124 @@
+"""Parity tests for the HBM-scale line-table Pallas traversal.
+
+The kernel must reproduce :func:`voxelengine_tpu.ops.trace.trace_brickmap`
+exactly (hits, positions, normals, steps) — interpret mode here (CPU);
+compiled-on-TPU parity is covered by the TPU smoke lane (bench harness).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from voxelengine_tpu.core.bitgrid import BitGrid
+from voxelengine_tpu.core.brickmap import build_brickmap, build_brickmap_terrain
+from voxelengine_tpu.core.layout import Layout
+from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+from voxelengine_tpu.ops.trace import trace_brickmap
+
+
+def _world(rng, dims=(64, 64, 64), factor=8, fill=0.02):
+    dense = rng.random((dims[2], dims[1], dims[0])) < fill
+    dense[:, 0:4, :] = rng.random((dims[2], 4, dims[0])) < 0.5
+    grid = BitGrid.from_dense(dense)
+    return build_brickmap(grid, factor, coarse_layout=Layout.LINEAR)
+
+
+def _rays(rng, n, world, spread=2.0):
+    wx, wy, wz = world
+    origins = (rng.random((n, 3)) * np.asarray([wx, wy, wz]) * spread
+               - np.asarray([wx, wy, wz]) * (spread - 1) / 2).astype(np.float32)
+    targets = (rng.random((n, 3)) * np.asarray([wx, wy, wz])).astype(np.float32)
+    d = targets - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return origins, d.astype(np.float32)
+
+
+def _assert_match(out, ref, atol=0.0):
+    hit_r, hit_o = np.asarray(ref.hit), np.asarray(out.hit)
+    assert (hit_r == hit_o).all(), f"hit mismatch: {np.flatnonzero(hit_r != hit_o)[:8]}"
+    assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps)), (
+        "steps mismatch"
+    )
+    m = hit_r
+    assert np.allclose(
+        np.asarray(ref.position)[m], np.asarray(out.position)[m], atol=atol
+    ), "position mismatch"
+    assert np.array_equal(
+        np.asarray(ref.normal)[m], np.asarray(out.normal)[m]
+    ), "normal mismatch"
+
+
+@pytest.mark.parametrize("use_macro", [False, True])
+def test_bigtrace_matches_xla_random_world(rng, use_macro):
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 256, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 256)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 256,
+        tile=256, num_slots=4, use_macro=use_macro, interpret=True,
+    )
+    if use_macro:
+        # macro skips charge exact L1 distance -> steps still match
+        _assert_match(out, ref)
+    else:
+        _assert_match(out, ref)
+
+
+def test_bigtrace_terrain_compact(rng):
+    from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
+
+    bm = build_brickmap_terrain_compact((128, 64, 128), 32, octaves=3)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 256, bm.world_dims, spread=1.5)
+    ref = trace_brickmap(bm, origins, rays, 512)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 512,
+        tile=256, num_slots=6, use_macro=True, interpret=True,
+    )
+    _assert_match(out, ref)
+
+
+def test_bigtrace_budget_truncation(rng):
+    """Rays dying of step budget report steps == max_steps and no hit,
+    exactly like the XLA path (macro skips clamp the same way)."""
+    bm = _world(rng, fill=0.0)  # only the floor
+    lt = make_line_table(bm)
+    # grazing rays along the world, above the floor: long walks, no hits
+    n = 128
+    origins = np.tile(np.asarray([[1.0, 30.0, 1.0]], np.float32), (n, 1))
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rays = np.stack(
+        [np.cos(ang), np.full(n, -0.01), np.sin(ang)], axis=1
+    ).astype(np.float32)
+    ref = trace_brickmap(bm, origins, rays, 24)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 24, tile=128, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)
+
+
+def test_bigtrace_tiny_cache_thrash(rng):
+    """Correct under heavy eviction (2 slots, divergent rays)."""
+    bm = _world(rng, fill=0.05)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 128, bm.world_dims, spread=3.0)
+    ref = trace_brickmap(bm, origins, rays, 128)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 128,
+        tile=128, num_slots=2, dma_per_round=1, interpret=True,
+    )
+    _assert_match(out, ref)
+
+
+def test_bigtrace_multi_tile_grid(rng):
+    """Grid over several ray tiles with the persistent cache reused."""
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 700, bm.world_dims)  # pads to 768, 3 tiles
+    ref = trace_brickmap(bm, origins, rays, 200)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 200, tile=256, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)

@@ -1,0 +1,749 @@
+"""HBM-scale two-level brickmap traversal as one fused Pallas kernel.
+
+The flagship-path kernel for worlds far beyond VMEM (the reference's
+demonstrated 8192 x 512 x 8192 terrain, ``/root/reference/README.md:29-31``):
+the TPU-native replacement for the reference's per-pixel megakernel
+(``VolumeRaytracer.cu:354-525`` + ``Renderer.cu:179-276``).  The XLA
+traversal in :mod:`voxelengine_tpu.ops.trace` is gather-bound (~0.5 Mrays/s
+at 1080p: XLA lowers per-lane gathers to the scalar core); this kernel keeps
+every per-step lookup on the VPU.
+
+Design (constraints established by ``experiments/probe_mosaic_r2*.py``):
+
+* **Line tables in HBM.**  The world is reshaped into 4 KB *lines* of
+  ``[8, 128]`` i32 words: one line per 8x8x8-chunk *region* (512 packed
+  meta words + 512 brick-slot words) followed by the packed brick words
+  (one line per ``factor=32`` brick).  One flat array, one line id space.
+* **A VMEM line cache** (``S`` slots, scratch, persistent across the ray-
+  tile grid) refilled by scalar-indexed async DMA on miss (~0.06-4 us per
+  4 KB line; misses are voted: min wanted line id among stalled rays).
+* **Gather-only fetch.**  Per step each ray needs one word
+  ``cache[slot, row, lane]``.  Mosaic's ``dynamic_gather`` reaches one
+  vreg: for each 128-ray group the (row, lane) indices are replicated
+  across sublanes, then ``ax1`` x ``ax0`` ``take_along_axis`` fetch
+  ``line[row[j], lane[j]]`` per lane j — unrolled over the S cache slots
+  with a masked select.  No scalar-core work on the hot path.
+* **Macro skip.**  A 1-bit-per-region occupancy table (static VMEM vreg)
+  lets rays in empty regions advance region-by-region: the coarse DDA is
+  re-seeded at the region exit and the step budget is charged the exact
+  L1 chunk distance, so hits match the plain chunk-by-chunk walk.
+* **Deferred descend.**  Entering an occupied chunk needs the brick-slot
+  word (same line, +4 rows): the descend is split over two iterations
+  (meta fetch -> slot fetch) carrying the meta word in a register, so every
+  iteration performs exactly one fetch per ray.
+
+Semantics (tie-breaking, edge padding, tight-AABB pruning, resume-on-ascend,
+degenerate start hits) match :func:`voxelengine_tpu.ops.trace.trace_brickmap`
+and are asserted in tests; the reference algorithm is
+``VolumeRaytracer.cu:176-525``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voxelengine_tpu.config import FLT_EPS_DDA, MAX_STEPS
+from voxelengine_tpu.core.brickmap import BrickMap
+from voxelengine_tpu.core.layout import Layout
+from voxelengine_tpu.ops.aabb import ray_aabb
+from voxelengine_tpu.ops.trace import TraceOut, _edge_pad, _normalize
+
+F32 = jnp.float32
+I32 = jnp.int32
+BIG = 3.4e38
+NOLINE = 0x7FFFFFFF  # "no line wanted" sentinel (python int: kernels must not capture tracers)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LineTable:
+    """HBM line-table form of a brickmap (see module doc)."""
+
+    lines: jax.Array  # i32[(NR + NBL) * 8, 128]
+    macro: jax.Array  # i32[8, 128] packed region-occupancy bits
+    num_regions: int = dataclasses.field(metadata=dict(static=True))
+    region_dims: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+
+
+def make_line_table(bm: BrickMap) -> LineTable:
+    """Build the HBM line table + macro occupancy for a brickmap.
+
+    Requires LINEAR coarse layout (the terrain builders' output).  Grid dims
+    are padded up to multiples of 8 with empty chunks; brick lines follow
+    region lines in one flat array.
+    """
+    assert bm.coarse_layout is Layout.LINEAR, "line table needs LINEAR coarse"
+    gx, gy, gz = bm.grid_dims
+    rx, ry, rz = -(-gx // 8), -(-gy // 8), -(-gz // 8)
+    nr = rx * ry * rz
+    assert nr <= 32768, "macro table caps at 32768 regions"
+    px, py, pz = rx * 8, ry * 8, rz * 8
+
+    def to_regions(flat, fill):
+        a = flat.reshape(gz, gy, gx)
+        a = jnp.pad(
+            a, ((0, pz - gz), (0, py - gy), (0, px - gx)), constant_values=fill
+        )
+        # [rz,8, ry,8, rx,8] -> regions (rz,ry,rx) x local (lz,ly,lx)
+        a = a.reshape(rz, 8, ry, 8, rx, 8).transpose(0, 2, 4, 1, 3, 5)
+        return a.reshape(nr, 512)
+
+    meta_r = to_regions(bm.meta, 0)
+    slots_r = to_regions(bm.brick_idx, -1)
+    region_lines = jnp.concatenate([meta_r, slots_r], axis=1)  # [nr, 1024]
+
+    wpb = bm.words_per_brick
+    bw = jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)
+    padw = (-bw.shape[0]) % 1024
+    if padw:
+        bw = jnp.concatenate([bw, jnp.zeros((padw,), I32)])
+    brick_lines = bw.reshape(-1, 1024)
+
+    lines = jnp.concatenate([region_lines, brick_lines], axis=0)
+    lines = lines.reshape(-1, 8, 128).reshape(-1, 128)
+
+    occ_r = jnp.any((meta_r >> 30) & 1 == 1, axis=1)
+    occ_pad = jnp.concatenate(
+        [occ_r, jnp.zeros((32768 - nr,), jnp.bool_)]
+    ).reshape(1024, 32)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    macro_words = jnp.sum(
+        jnp.where(occ_pad, jnp.int32(1) << shifts[None, :], 0), axis=1
+    ).astype(I32)
+    macro = macro_words.reshape(8, 128)
+
+    return LineTable(
+        lines=lines,
+        macro=macro,
+        num_regions=nr,
+        region_dims=(rx, ry, rz),
+    )
+
+
+def _axis_pick3(tx, ty, tz):
+    """Reference tie-breaking (VolumeRaytracer.cu:293-313)."""
+    ax = (tx < ty) & (tx < tz)
+    ay = (~ax) & (ty <= tx) & (ty < tz)
+    az = ~(ax | ay)
+    return ax, ay, az
+
+
+def _fetch_pass(cache, cslot, row, lane, S: int):
+    """vals[i,j] = cache[cslot[i,j]*8 + row[i,j], lane[i,j]] (cslot<0 -> 0).
+
+    cache: [S*8, 128] i32 (VMEM value); cslot/row/lane: [R, 128] i32 ray
+    state (R = rays/128).  Grouped replicated pair-gather (see module doc):
+    per sublane-row g the (row, lane) indices are broadcast across sublanes,
+    ax1 x ax0 take_along_axis fetch from each cache slot, and a masked
+    select picks the ray's slot.  Rays with cslot < 0 receive unspecified
+    values — callers must mask on residency.  All ops stay in native
+    [8,128] vreg form (1D slicing/concat across sublanes does not lower on
+    v5e Mosaic — probe D8).
+    """
+    R = cslot.shape[0]
+    sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    out = jnp.zeros((R, 128), I32)
+    for g in range(R):
+        lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
+        row_rep = jnp.broadcast_to(row[g, :][None, :], (8, 128))
+        sl = cslot[g, :][None, :]
+        acc = jnp.zeros((1, 128), I32)
+        for c in range(S):
+            y = jnp.take_along_axis(cache[c * 8 : (c + 1) * 8, :], lane_rep, axis=1)
+            z = jnp.take_along_axis(y, row_rep, axis=0)
+            acc = jnp.where(sl == c, z[0:1, :], acc)
+        out = jnp.where(sub == g, jnp.broadcast_to(acc, (R, 128)), out)
+    return out
+
+
+def _fetch_static(line, row, lane):
+    """vals[i,j] = line[row[i,j], lane[i,j]] from one static [8,128] line."""
+    R = row.shape[0]
+    sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    out = jnp.zeros((R, 128), I32)
+    for g in range(R):
+        lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
+        row_rep = jnp.broadcast_to(row[g, :][None, :], (8, 128))
+        y = jnp.take_along_axis(line, lane_rep, axis=1)
+        z = jnp.take_along_axis(y, row_rep, axis=0)
+        out = jnp.where(sub == g, jnp.broadcast_to(z[0:1, :], (R, 128)), out)
+    return out
+
+
+def _bigtrace_kernel(
+    macro_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    act_ref, padx_ref, pady_ref, padz_ref,
+    lines_hbm,
+    hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
+    cache_ref, tags_ref, rr_ref, sem_ref,
+    *,
+    grid_dims,
+    region_dims,
+    num_regions: int,
+    factor: int,
+    wpb: int,
+    max_steps: int,
+    num_slots: int,
+    inner_steps: int,
+    dma_per_round: int,
+    use_macro: bool,
+    brick_layout: Layout,
+):
+    GX, GY, GZ = grid_dims
+    RX, RY, RZ = region_dims
+    f = factor
+    S = num_slots
+    R = ox_ref.shape[0]  # sublane rows; rays = R * 128
+    NR = num_regions
+
+    # cache bookkeeping persists across the ray-tile grid; init once
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        tags_ref[:] = jnp.full((8, 128), -1, I32)
+        rr_ref[0] = 0
+
+    macro = macro_ref[:]
+    sx, sy, sz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    padx, pady, padz = padx_ref[:], pady_ref[:], padz_ref[:]
+
+    stx = jnp.where(dx > 0.0, 1, -1)
+    sty = jnp.where(dy > 0.0, 1, -1)
+    stz = jnp.where(dz > 0.0, 1, -1)
+    tdx = jnp.where(dx != 0.0, jnp.abs(1.0 / dx), BIG)
+    tdy = jnp.where(dy != 0.0, jnp.abs(1.0 / dy), BIG)
+    tdz = jnp.where(dz != 0.0, jnp.abs(1.0 / dz), BIG)
+    ccx0 = sx.astype(I32)
+    ccy0 = sy.astype(I32)
+    ccz0 = sz.astype(I32)
+    ctx0 = jnp.where(dx != 0.0, ((ccx0 + (stx > 0)).astype(F32) - sx) / dx, BIG)
+    cty0 = jnp.where(dy != 0.0, ((ccy0 + (sty > 0)).astype(F32) - sy) / dy, BIG)
+    ctz0 = jnp.where(dz != 0.0, ((ccz0 + (stz > 0)).astype(F32) - sz) / dz, BIG)
+
+    if brick_layout is Layout.LINEAR:
+        def brick_bit(x, y, z):
+            return x + y * f + z * (f * f)
+    else:  # TILED_LINEAR (f % 8 == 0)
+        tF = f // 8
+        def brick_bit(x, y, z):
+            tile = (x >> 3) + (y >> 3) * tF + (z >> 3) * (tF * tF)
+            return tile * 512 + (x & 7) + ((y & 7) << 3) + ((z & 7) << 6)
+
+    zero = jnp.zeros((R, 128), F32)
+    zeroi = jnp.zeros((R, 128), I32)
+
+    def inner(cache, carry):
+        (act, fine, pend, hit, imm, hit_imm, steps,
+         ccx, ccy, ccz, ctx, cty, ctz, centry,
+         fcx, fcy, fcz, ftx, fty, ftz,
+         fsx, fsy, fsz, fpx, fpy, fpz,
+         fpadx, fpady, fpadz, fsteps,
+         cnx, cny, cnz, fnx, fny, fnz,
+         pox, poy, poz, nox, noy, noz,
+         pmeta, bslot, want) = carry
+        active = act != 0
+        in_fine = fine != 0
+        pending = pend != 0
+        coarse_phase = active & ~in_fine & ~pending
+        pend_phase = active & pending
+        fine_phase = active & in_fine
+
+        # ---- region/local decomposition of the coarse cell ----
+        in_range_c = (
+            (ccx >= 0) & (ccx < GX + padx)
+            & (ccy >= 0) & (ccy < GY + pady)
+            & (ccz >= 0) & (ccz < GZ + padz)
+        )
+        clx = jnp.clip(ccx, 0, GX - 1)
+        cly = jnp.clip(ccy, 0, GY - 1)
+        clz = jnp.clip(ccz, 0, GZ - 1)
+        rgx, rgy, rgz = clx >> 3, cly >> 3, clz >> 3
+        region = rgx + RX * (rgy + RY * rgz)
+        local = (clx & 7) + ((cly & 7) << 3) + ((clz & 7) << 6)
+
+        # ---- macro occupancy (static vreg, no cache involved) ----
+        if use_macro:
+            mw = region >> 5
+            mbit = region & 31
+            mword = _fetch_static(macro, mw >> 7, mw & 127)
+            region_occ = ((mword >> mbit) & 1) == 1
+        else:
+            region_occ = jnp.ones((R, 128), jnp.bool_)
+        macro_skip = coarse_phase & in_range_c & ~region_occ
+
+        # ---- per-ray wanted line + cache residency ----
+        meta_lane = local & 127
+        meta_row = local >> 7  # 0..3; slot words at +4
+        w_glob = jnp.where(fine_phase, bslot * wpb, 0) + (
+            jnp.where(
+                fine_phase,
+                brick_bit(
+                    jnp.clip(fcx, 0, f - 1),
+                    jnp.clip(fcy, 0, f - 1),
+                    jnp.clip(fcz, 0, f - 1),
+                ) >> 5,
+                0,
+            )
+        )
+        want_new = jnp.where(
+            fine_phase,
+            NR + (w_glob >> 10),
+            jnp.where(
+                (coarse_phase & in_range_c & region_occ) | pend_phase,
+                region,
+                NOLINE,
+            ),
+        )
+        row = jnp.where(
+            fine_phase,
+            (w_glob >> 7) & 7,
+            jnp.where(pend_phase, meta_row + 4, meta_row),
+        )
+        lane = jnp.where(fine_phase, w_glob & 127, meta_lane)
+
+        cslot = jnp.full((R, 128), -1, I32)
+        for s in range(S):
+            cslot = jnp.where(want_new == tags_ref[0, s], s, cslot)
+        resident = cslot >= 0
+        served = resident & (want_new != NOLINE)
+        word = _fetch_pass(cache, cslot, row, lane, S)
+
+        # rays that need a line they don't have stall this step
+        runnable = active & (
+            macro_skip
+            | served
+            | (coarse_phase & ~in_range_c)  # world-miss needs no fetch
+            | (fine_phase & ~(
+                (fcx >= 0) & (fcx < f + fpadx)
+                & (fcy >= 0) & (fcy < f + fpady)
+                & (fcz >= 0) & (fcz < f + fpadz)
+            ))  # fine out-of-range ascends without a fetch
+        )
+
+        # ================= coarse: meta test =================
+        meta = jnp.where(pend_phase, pmeta, word)
+        occ_c = ((meta >> 30) & 1) == 1
+        bmnx = (meta & 31).astype(F32)
+        bmny = ((meta >> 5) & 31).astype(F32)
+        bmnz = ((meta >> 10) & 31).astype(F32)
+        bmxx = ((meta >> 15) & 31).astype(F32)
+        bmxy = ((meta >> 20) & 31).astype(F32)
+        bmxz = ((meta >> 25) & 31).astype(F32)
+
+        box_lox = clx.astype(F32) + bmnx / f
+        box_loy = cly.astype(F32) + bmny / f
+        box_loz = clz.astype(F32) + bmnz / f
+        box_hix = clx.astype(F32) + (bmxx + 1.0) / f
+        box_hiy = cly.astype(F32) + (bmxy + 1.0) / f
+        box_hiz = clz.astype(F32) + (bmxz + 1.0) / f
+        eps32 = 1.1920929e-07
+        ivx = 1.0 / jnp.where(dx == 0.0, eps32, dx)
+        ivy = 1.0 / jnp.where(dy == 0.0, eps32, dy)
+        ivz = 1.0 / jnp.where(dz == 0.0, eps32, dz)
+        t1x = jnp.minimum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
+        t2x = jnp.maximum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
+        t1y = jnp.minimum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
+        t2y = jnp.maximum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
+        t1z = jnp.minimum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
+        t2z = jnp.maximum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
+        btmin = jnp.maximum(jnp.maximum(t1x, t1y), t1z)
+        btmax = jnp.minimum(jnp.minimum(t2x, t2y), t2z)
+        bhit = btmax >= jnp.maximum(btmin, 0.0)
+        is_x = btmin == t1x
+        is_y = (~is_x) & (btmin == t1y)
+        bnx = jnp.where(is_x, jnp.where(ivx < 0, -1.0, 1.0), 0.0)
+        bny = jnp.where(is_y, jnp.where(ivy < 0, -1.0, 1.0), 0.0)
+        bnz = jnp.where(is_x | is_y, 0.0, jnp.where(ivz < 0, -1.0, 1.0))
+
+        occupied = in_range_c & occ_c & bhit
+        # coarse ray on an occupied+hit chunk defers to a pend step (it needs
+        # the slot word next iteration); pend ray completes the descend now
+        to_pend = runnable & coarse_phase & occupied
+        descend = runnable & pend_phase
+        coarse_miss = runnable & coarse_phase & ~in_range_c
+        coarse_adv = runnable & coarse_phase & in_range_c & ~occupied & ~macro_skip
+
+        imm_new = (steps == 0) & (btmin <= 0.0)
+        use_box = btmin > 0.0
+        ex = jnp.where(use_box, sx + btmin * dx, sx + dx * centry)
+        ey = jnp.where(use_box, sy + btmin * dy, sy + dy * centry)
+        ez = jnp.where(use_box, sz + btmin * dz, sz + dz * centry)
+        fsx_new = (ex - clx.astype(F32)) * f
+        fsy_new = (ey - cly.astype(F32)) * f
+        fsz_new = (ez - clz.astype(F32)) * f
+        fcx_new = fsx_new.astype(I32)
+        fcy_new = fsy_new.astype(I32)
+        fcz_new = fsz_new.astype(I32)
+        ftx_new = jnp.where(dx != 0.0, ((fcx_new + (stx > 0)).astype(F32) - fsx_new) / dx, BIG)
+        fty_new = jnp.where(dy != 0.0, ((fcy_new + (sty > 0)).astype(F32) - fsy_new) / dy, BIG)
+        ftz_new = jnp.where(dz != 0.0, ((fcz_new + (stz > 0)).astype(F32) - fsz_new) / dz, BIG)
+        on_edge_f = (fcx_new == f) | (fcy_new == f) | (fcz_new == f)
+        fpadx_new = jnp.where(on_edge_f & (dx < 0.0), 1, 0)
+        fpady_new = jnp.where(on_edge_f & (dy < 0.0), 1, 0)
+        fpadz_new = jnp.where(on_edge_f & (dz < 0.0), 1, 0)
+
+        # ================= fine level =================
+        in_range_f = (
+            (fcx >= 0) & (fcx < f + fpadx)
+            & (fcy >= 0) & (fcy < f + fpady)
+            & (fcz >= 0) & (fcz < f + fpadz)
+        )
+        bit = brick_bit(
+            jnp.clip(fcx, 0, f - 1), jnp.clip(fcy, 0, f - 1), jnp.clip(fcz, 0, f - 1)
+        )
+        occ_f = (((word >> (bit & 31)) & 1) == 1)
+
+        fine_hit = runnable & fine_phase & in_range_f & occ_f
+        fine_try = runnable & fine_phase & in_range_f & ~occ_f
+
+        fax, fay, faz = _axis_pick3(ftx, fty, ftz)
+        ftc = jnp.where(fax, ftx, jnp.where(fay, fty, ftz))
+        fix = jnp.where(fax, (fcx + (stx > 0)).astype(F32), fsx + ftc * dx)
+        fiy = jnp.where(fay, (fcy + (sty > 0)).astype(F32), fsy + ftc * dy)
+        fiz = jnp.where(faz, (fcz + (stz > 0)).astype(F32), fsz + ftc * dz)
+        oob_f = (
+            (fix < 0.0) | (fix > f) | (fiy < 0.0) | (fiy > f)
+            | (fiz < 0.0) | (fiz > f)
+        )
+        fine_step = fine_try & ~oob_f
+        ascend = (runnable & fine_phase & ~in_range_f) | (fine_try & oob_f)
+
+        # ================= coarse advance (normal + macro skip) ==========
+        do_cadv = coarse_adv | ascend
+        cax, cay, caz = _axis_pick3(ctx, cty, ctz)
+        ctc = jnp.where(cax, ctx, jnp.where(cay, cty, ctz))
+
+        # macro skip: step the *region* DDA, re-seed the coarse DDA at the
+        # region exit, charge the exact L1 chunk distance to the budget
+        if use_macro:
+            nbx = (rgx + (stx > 0)).astype(F32) * 8.0
+            nby = (rgy + (sty > 0)).astype(F32) * 8.0
+            nbz = (rgz + (stz > 0)).astype(F32) * 8.0
+            rtx = jnp.where(dx != 0.0, (nbx - sx) / dx, BIG)
+            rty = jnp.where(dy != 0.0, (nby - sy) / dy, BIG)
+            rtz = jnp.where(dz != 0.0, (nbz - sz) / dz, BIG)
+            rax, ray_, raz = _axis_pick3(rtx, rty, rtz)
+            rt1 = jnp.where(rax, rtx, jnp.where(ray_, rty, rtz))
+            mx = sx + rt1 * dx
+            my = sy + rt1 * dy
+            mz = sz + rt1 * dz
+            # stepped axis: exactly the first cell across the region face;
+            # others: floor, clamped into the current region (FP guard)
+            skx = jnp.where(
+                rax,
+                jnp.where(stx > 0, (rgx + 1) * 8, rgx * 8 - 1),
+                jnp.clip(mx.astype(I32) - (mx < 0.0), rgx * 8, rgx * 8 + 7),
+            )
+            sky = jnp.where(
+                ray_,
+                jnp.where(sty > 0, (rgy + 1) * 8, rgy * 8 - 1),
+                jnp.clip(my.astype(I32) - (my < 0.0), rgy * 8, rgy * 8 + 7),
+            )
+            skz = jnp.where(
+                raz,
+                jnp.where(stz > 0, (rgz + 1) * 8, rgz * 8 - 1),
+                jnp.clip(mz.astype(I32) - (mz < 0.0), rgz * 8, rgz * 8 + 7),
+            )
+            skip_l1 = (
+                jnp.abs(skx - ccx) + jnp.abs(sky - ccy) + jnp.abs(skz - ccz)
+            )
+        else:
+            skx = sky = skz = zeroi
+            rt1 = zero
+            skip_l1 = zeroi
+
+        new_ccx = jnp.where(macro_skip, skx, jnp.where(do_cadv & cax, ccx + stx, ccx))
+        new_ccy = jnp.where(macro_skip, sky, jnp.where(do_cadv & cay, ccy + sty, ccy))
+        new_ccz = jnp.where(macro_skip, skz, jnp.where(do_cadv & caz, ccz + stz, ccz))
+        new_ctx = jnp.where(
+            macro_skip,
+            jnp.where(dx != 0.0, ((new_ccx + (stx > 0)).astype(F32) - sx) / dx, BIG),
+            jnp.where(do_cadv & cax, ctx + tdx, ctx),
+        )
+        new_cty = jnp.where(
+            macro_skip,
+            jnp.where(dy != 0.0, ((new_ccy + (sty > 0)).astype(F32) - sy) / dy, BIG),
+            jnp.where(do_cadv & cay, cty + tdy, cty),
+        )
+        new_ctz = jnp.where(
+            macro_skip,
+            jnp.where(dz != 0.0, ((new_ccz + (stz > 0)).astype(F32) - sz) / dz, BIG),
+            jnp.where(do_cadv & caz, ctz + tdz, ctz),
+        )
+        new_centry = jnp.where(
+            macro_skip, rt1, jnp.where(do_cadv, ctc, centry)
+        )
+
+        new_fine = (in_fine | descend) & ~ascend & ~fine_hit
+        def pick3(dsc, stp, new, adv, old):
+            return jnp.where(dsc, new, jnp.where(stp, adv, old))
+        nfcx = pick3(descend, fine_step, fcx_new, jnp.where(fax, fcx + stx, fcx), fcx)
+        nfcy = pick3(descend, fine_step, fcy_new, jnp.where(fay, fcy + sty, fcy), fcy)
+        nfcz = pick3(descend, fine_step, fcz_new, jnp.where(faz, fcz + stz, fcz), fcz)
+        nftx = pick3(descend, fine_step, ftx_new, jnp.where(fax, ftx + tdx, ftx), ftx)
+        nfty = pick3(descend, fine_step, fty_new, jnp.where(fay, fty + tdy, fty), fty)
+        nftz = pick3(descend, fine_step, ftz_new, jnp.where(faz, ftz + tdz, ftz), ftz)
+        nfsx = jnp.where(descend, fsx_new, fsx)
+        nfsy = jnp.where(descend, fsy_new, fsy)
+        nfsz = jnp.where(descend, fsz_new, fsz)
+        nfpx = pick3(descend, fine_step, fsx_new, fix, fpx)
+        nfpy = pick3(descend, fine_step, fsy_new, fiy, fpy)
+        nfpz = pick3(descend, fine_step, fsz_new, fiz, fpz)
+        nfpadx = jnp.where(descend, fpadx_new, fpadx)
+        nfpady = jnp.where(descend, fpady_new, fpady)
+        nfpadz = jnp.where(descend, fpadz_new, fpadz)
+        nfsteps = jnp.where(descend, 0, fsteps + jnp.where(fine_step, 1, 0))
+        ncnx = jnp.where(descend, bnx, cnx)
+        ncny = jnp.where(descend, bny, cny)
+        ncnz = jnp.where(descend, bnz, cnz)
+        nfnx = jnp.where(fine_step, jnp.where(fax, stx.astype(F32), 0.0), fnx)
+        nfny = jnp.where(fine_step, jnp.where(fay, sty.astype(F32), 0.0), fny)
+        nfnz = jnp.where(fine_step, jnp.where(faz, stz.astype(F32), 0.0), fnz)
+
+        nsteps = jnp.minimum(
+            steps
+            + jnp.where(do_cadv | fine_step, 1, 0)
+            + jnp.where(macro_skip, skip_l1, 0),
+            max_steps,
+        )
+
+        # hit bookkeeping uses PRE-update fine state (fine_hit lanes take
+        # neither descend nor step branches above)
+        hpx = fpx + (ccx * f).astype(F32)
+        hpy = fpy + (ccy * f).astype(F32)
+        hpz = fpz + (ccz * f).astype(F32)
+        first_cell = fsteps == 0
+        hnx = jnp.where(first_cell, cnx, fnx)
+        hny = jnp.where(first_cell, cny, fny)
+        hnz = jnp.where(first_cell, cnz, fnz)
+        npox = jnp.where(fine_hit, hpx, pox)
+        npoy = jnp.where(fine_hit, hpy, poy)
+        npoz = jnp.where(fine_hit, hpz, poz)
+        nnox = jnp.where(fine_hit, hnx, nox)
+        nnoy = jnp.where(fine_hit, hny, noy)
+        nnoz = jnp.where(fine_hit, hnz, noz)
+        nhit = hit | fine_hit.astype(I32)
+        nimm = jnp.where(descend, imm_new.astype(I32), imm)
+        nhit_imm = hit_imm | (fine_hit & (fsteps == 0) & (imm != 0)).astype(I32)
+
+        dead = nsteps >= max_steps
+        nact = (active & ~fine_hit & ~coarse_miss & ~dead).astype(I32)
+        npend = (to_pend | (pending & ~runnable & active)).astype(I32)
+        # pend rays carry the meta word; slot word becomes the brick slot
+        npmeta = jnp.where(to_pend, word, pmeta)
+        nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
+
+        # next-iteration want (for the outer DMA round): recompute cheaply
+        # from the POST state — stalled rays keep their want
+        nwant = jnp.where(
+            nact != 0,
+            jnp.where(want_new != NOLINE, want_new, want),
+            NOLINE,
+        )
+        nwant = jnp.where(runnable & (nact != 0), want_new, nwant)
+
+        return (nact, new_fine.astype(I32), npend, nhit, nimm, nhit_imm, nsteps,
+                new_ccx, new_ccy, new_ccz, new_ctx, new_cty, new_ctz, new_centry,
+                nfcx, nfcy, nfcz, nftx, nfty, nftz,
+                nfsx, nfsy, nfsz, nfpx, nfpy, nfpz,
+                nfpadx, nfpady, nfpadz, nfsteps,
+                ncnx, ncny, ncnz, nfnx, nfny, nfnz,
+                npox, npoy, npoz, nnox, nnoy, nnoz,
+                npmeta, nbslot, nwant)
+
+    def outer_body(carry):
+        it = carry[0]
+        st = carry[1:]
+        act, want = st[0], st[-1]
+        active = act != 0
+
+        # ---- DMA round: serve up to dma_per_round missing lines ----
+        tags = tags_ref[:]
+        lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+        sub8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
+        stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
+        for _k in range(dma_per_round):
+            # resident wants don't need a DMA
+            res = jnp.zeros(stalled_want.shape, jnp.bool_)
+            for s in range(S):
+                res = res | (stalled_want == tags_ref[0, s])
+            cand = jnp.where(res, NOLINE, stalled_want)
+            miss = jnp.min(cand)
+
+            @pl.when(miss != NOLINE)
+            def _():
+                slot = rr_ref[0] % S
+                pltpu.make_async_copy(
+                    lines_hbm.at[pl.ds(miss * 8, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sem_ref,
+                ).start()
+                pltpu.make_async_copy(
+                    lines_hbm.at[pl.ds(0, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sem_ref,
+                ).wait()
+                tags_ref[:] = jnp.where(
+                    (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
+                )
+                rr_ref[0] = rr_ref[0] + 1
+
+            stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
+
+        # ---- inner steps ----
+        cache = cache_ref[:]
+        st = jax.lax.fori_loop(
+            0, inner_steps, lambda i, c: inner(cache, c), st, unroll=False
+        )
+        return (it + 1,) + st
+
+    init = (jnp.int32(0),
+            act_ref[:], zeroi, zeroi, zeroi, zeroi, zeroi, zeroi,
+            ccx0, ccy0, ccz0, ctx0, cty0, ctz0, zero,
+            zeroi, zeroi, zeroi, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero,
+            zeroi, zeroi, zeroi, zeroi,
+            zero, zero, zero, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero,
+            zeroi, zeroi, jnp.full((R, 128), NOLINE, I32))
+
+    # generous iteration cap: 2*max_steps events + stall slack
+    iter_limit = (2 * max_steps + 64) // inner_steps + 64
+
+    def outer_cond(c):
+        return (c[0] < iter_limit) & jnp.any(c[1] != 0)
+
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    st = out[1:]
+    (act, fine, pend, hit, imm, hit_imm, steps) = st[0:7]
+    (pox, poy, poz, nox, noy, noz) = st[36:42]
+
+    hit_ref[:] = hit | (hit_imm << 1)
+    px_ref[:] = pox
+    py_ref[:] = poy
+    pz_ref[:] = poz
+    nx_ref[:] = nox
+    ny_ref[:] = noy
+    nz_ref[:] = noz
+    steps_ref[:] = steps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_steps", "tile", "num_slots", "inner_steps", "dma_per_round",
+        "use_macro", "interpret",
+    ),
+)
+def trace_brickmap_hbm(
+    bm: BrickMap,
+    lt: LineTable,
+    origins,
+    rays,
+    max_steps: int = MAX_STEPS,
+    tile: int = 1024,
+    num_slots: int = 16,
+    inner_steps: int = 8,
+    dma_per_round: int = 4,
+    use_macro: bool = True,
+    interpret: bool = False,
+) -> TraceOut:
+    """Two-level brickmap trace through the HBM line table (see module doc).
+
+    Semantics match :func:`voxelengine_tpu.ops.trace.trace_brickmap` (hits,
+    positions, normals; step counts additionally charge macro-skipped
+    distance exactly, so they match too).
+    """
+    gx, gy, gz = bm.grid_dims
+    f = bm.factor
+    gdims = jnp.asarray([gx, gy, gz], I32)
+
+    origins = jnp.asarray(origins, F32)
+    d = _normalize(jnp.asarray(rays, F32))
+    n = origins.shape[0]
+
+    start_c = origins / F32(f)
+    inside = jnp.all((start_c >= 0.0) & (start_c < gdims.astype(F32)), axis=-1)
+    eps = jnp.float32(FLT_EPS_DDA)
+    whit, _, wpt, wnrm = ray_aabb(
+        start_c, d, jnp.full((3,), eps), gdims.astype(F32) - eps
+    )
+    start_c = jnp.where(inside[:, None], start_c, jnp.where(whit[:, None], wpt, start_c))
+    start_normal = jnp.where(inside[:, None], 0.0, wnrm)
+    active0 = (inside | whit).astype(I32)
+    pad = _edge_pad(start_c.astype(I32), gdims, d)
+
+    assert tile % 128 == 0
+    rows_per_tile = tile // 128
+    padn = (-n) % tile
+
+    def pad1(a, fill=0):
+        if padn:
+            a = jnp.concatenate([a, jnp.full((padn,), fill, a.dtype)])
+        return a.reshape(-1, 128)  # [total_rows, 128]: native vreg tiling
+
+    ins = [
+        pad1(start_c[:, 0]), pad1(start_c[:, 1]), pad1(start_c[:, 2]),
+        pad1(d[:, 0], 1.0), pad1(d[:, 1], 1.0), pad1(d[:, 2], 1.0),
+        pad1(active0), pad1(pad[:, 0]), pad1(pad[:, 1]), pad1(pad[:, 2]),
+    ]
+    ntiles = (n + padn) // tile
+
+    ray_spec = pl.BlockSpec(
+        (rows_per_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [ray_spec] * 10
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+    )
+    kern = functools.partial(
+        _bigtrace_kernel,
+        grid_dims=(gx, gy, gz),
+        region_dims=lt.region_dims,
+        num_regions=lt.num_regions,
+        factor=f,
+        wpb=bm.words_per_brick,
+        max_steps=max_steps,
+        num_slots=num_slots,
+        inner_steps=inner_steps,
+        dma_per_round=dma_per_round,
+        use_macro=use_macro,
+        brick_layout=bm.brick_layout,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=[ray_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)]
+        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), F32)] * 6
+        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)],
+        scratch_shapes=[
+            pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
+            pltpu.VMEM((8, 128), I32),  # tags (row 0, lane s)
+            pltpu.SMEM((2,), I32),  # round-robin counter
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lt.macro, *ins, lt.lines)
+
+    flags = outs[0].reshape(-1)[:n]
+    hit = (flags & 1) == 1
+    hit_imm = (flags & 2) == 2
+    pos = jnp.stack([o.reshape(-1)[:n] for o in outs[1:4]], axis=-1)
+    nrm = jnp.stack([o.reshape(-1)[:n] for o in outs[4:7]], axis=-1)
+    steps = outs[7].reshape(-1)[:n]
+    pos = jnp.where(hit_imm[:, None], start_c * F32(f), pos)
+    nrm = jnp.where(hit_imm[:, None], start_normal, nrm)
+    return TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
