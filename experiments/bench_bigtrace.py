@@ -55,25 +55,38 @@ def main():
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
     o, d, _, _, _ = primary_rays(cfg, origin, euler, jnp.int32(0))
     o, d = o[:n_rays], d[:n_rays]
+    if "--tiled" in sys.argv:
+        # reorder rays into 32x32 pixel blocks (coherent kernel tiles)
+        W = cfg.width
+        rows = n_rays // W
+        assert n_rays % W == 0 and rows % 32 == 0 and W % 32 == 0, (W, rows)
+        perm = (np.arange(W * rows).reshape(rows // 32, 32, W // 32, 32)
+                .transpose(0, 2, 1, 3).reshape(-1))
+        o = jnp.asarray(np.asarray(o)[perm])
+        d = jnp.asarray(np.asarray(d)[perm])
 
-    kw = dict(tile=1024, num_slots=16, inner_steps=8, dma_per_round=4)
-    t0 = time.perf_counter()
-    out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
-    out.hit.block_until_ready()
-    print(f"first call (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
-
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    import os
+    sweep = os.environ.get("SWEEP", "1024,16,8,4")
+    for part in sweep.split():
+        tile, ns, istp, dpr = (int(v) for v in part.split(","))
+        kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr)
+        t0 = time.perf_counter()
         out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
-    out.hit.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    hit = np.asarray(out.hit)
-    steps = np.asarray(out.steps)
-    print(f"bigtrace: {dt*1000:.1f} ms for {n_rays} rays -> "
-          f"{n_rays/dt/1e6:.2f} Mrays/s  hit-rate {hit.mean():.3f}  "
-          f"steps mean {steps.mean():.1f} p99 {np.percentile(steps, 99):.0f}",
-          flush=True)
+        out.hit.block_until_ready()
+        t_first = time.perf_counter() - t0
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
+        out.hit.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        hit = np.asarray(out.hit)
+        steps = np.asarray(out.steps)
+        print(f"bigtrace[{part}]: {dt*1000:.1f} ms for {n_rays} rays -> "
+              f"{n_rays/dt/1e6:.2f} Mrays/s  hit-rate {hit.mean():.3f}  "
+              f"steps mean {steps.mean():.1f} p99 {np.percentile(steps, 99):.0f}"
+              f"  (compile {t_first:.1f}s)",
+              flush=True)
 
     if "--verify" in sys.argv:
         fused = make_fused_table(bm)

@@ -122,3 +122,33 @@ def test_bigtrace_multi_tile_grid(rng):
         bm, lt, origins, rays, 200, tile=256, num_slots=4, interpret=True
     )
     _assert_match(out, ref)
+
+
+def test_render_frame_with_line_table(rng):
+    """render_frame(lt=...) produces the exact frame of the XLA path
+    (full budget, no staging), including checkerboard + tile_order."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm = _world(rng, dims=(64, 64, 64), factor=8, fill=0.01)
+    lt = make_line_table(bm)
+    cfg = RenderConfig(
+        width=64, height=64, checkerboard=True, staged_trace=False,
+        trace_tile=256, trace_slots=4, tile_order=True, max_steps=256,
+    )
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 48.0, 32.0], jnp.float32)
+    euler = jnp.asarray([-0.5, 0.8, 0.0], jnp.float32)
+
+    fb_ref = render_frame(
+        bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(1),
+        dataclasses.replace(cfg, tile_order=False),
+    )
+    fb_lt = render_frame(
+        bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(1), cfg, lt=lt
+    )
+    assert np.array_equal(np.asarray(fb_ref), np.asarray(fb_lt))

@@ -88,3 +88,9 @@ class RenderConfig:
     # the (stage_iters, tail_frac)-derived default; must be sized beyond the
     # scene's survivor percentiles (bench.py verifies 0-diff per run)
     stage_schedule: tuple = None
+    # Pallas HBM-line-table traversal (ops.pallas_bigtrace), used when a
+    # LineTable is passed to render_frame: ray-tile size, VMEM cache slots,
+    # and 32x32-pixel-block ray ordering for cache coherence
+    trace_tile: int = 1024
+    trace_slots: int = 8
+    tile_order: bool = False

@@ -656,7 +656,7 @@ def trace_brickmap_hbm(
     inner_steps: int = 8,
     dma_per_round: int = 4,
     use_macro: bool = True,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> TraceOut:
     """Two-level brickmap trace through the HBM line table (see module doc).
 
@@ -664,6 +664,13 @@ def trace_brickmap_hbm(
     positions, normals; step counts additionally charge macro-skipped
     distance exactly, so they match too).
     """
+    if interpret is None:
+        # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
+        interpret = jax.default_backend() == "cpu"
+    assert interpret or tile % 1024 == 0, (
+        "compiled Mosaic blocks need >= 8 sublanes: tile must be a"
+        " multiple of 1024"
+    )
     gx, gy, gz = bm.grid_dims
     f = bm.factor
     gdims = jnp.asarray([gx, gy, gz], I32)

@@ -37,6 +37,7 @@ from voxelengine_tpu.config import (
 )
 from voxelengine_tpu.core.brickmap import BrickMap
 from voxelengine_tpu.ops.noise import random_float
+from voxelengine_tpu.ops.pallas_bigtrace import LineTable, trace_brickmap_hbm
 from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap, trace_brickmap_staged
 from voxelengine_tpu.render import camera as cam
 from voxelengine_tpu.render.shading import calculate_color, reflect, tonemap
@@ -60,8 +61,21 @@ def primary_rays(cfg: RenderConfig, origin, euler, frame_number):
     W, H = cfg.width, cfg.height
     rows = H // 2 if cfg.checkerboard else H
     xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
-    px = xg.reshape(-1)
-    py_r = yg.reshape(-1)
+    if cfg.tile_order and W % 32 == 0 and rows % 32 == 0:
+        # order rays as 32x32 pixel blocks: the coherent-tile layout the
+        # Pallas traversal wants (neighbouring rays share cache lines);
+        # px/py travel with the rays, so the final scatter needs no inverse
+        def blocked(a):
+            return (
+                a.reshape(rows // 32, 32, W // 32, 32)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1)
+            )
+        px = blocked(xg)
+        py_r = blocked(yg)
+    else:
+        px = xg.reshape(-1)
+        py_r = yg.reshape(-1)
     if cfg.checkerboard:
         py = py_r * 2 + jnp.where(px % 2 == 0, 1, 0) + jnp.where(frame_number % 2 == 0, 1, 0)
     else:
@@ -121,14 +135,23 @@ def shade_pixels(
     frame_number,
     cfg: RenderConfig,
     fused=None,
+    lt: Optional[LineTable] = None,
 ):
     """Trace + shade a flat pixel batch; returns ``(color [N,3], write [N])``.
 
     The per-pixel body of ``screenDispatch`` (``Renderer.cu:179-276``),
-    shared by the single-device and sharded render paths.
+    shared by the single-device and sharded render paths.  With ``lt`` the
+    traversal runs in the fused HBM-line-table Pallas kernel (the flagship
+    path for big worlds; never truncates — every ray runs to its hit or the
+    full step budget); otherwise the XLA state machine (staged or plain).
     """
     W, H = cfg.width, cfg.height
-    if cfg.staged_trace:
+    if lt is not None:
+        out = trace_brickmap_hbm(
+            bm, lt, origins, dirs, cfg.max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+        )
+    elif cfg.staged_trace:
         out: TraceOut = trace_brickmap_staged(
             bm, origins, dirs, cfg.max_steps,
             stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
@@ -237,17 +260,19 @@ def render_frame(
     frame_number,
     cfg: RenderConfig,
     fused=None,
+    lt: Optional[LineTable] = None,
 ) -> jax.Array:
     """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
 
     The full fused path of ``RenderScreen`` -> ``screenDispatch``
     (``Renderer.cu:305-328,179-276``).  ``frame_number`` is a traced scalar
-    so checkerboard parity doesn't recompile.
+    so checkerboard parity doesn't recompile.  ``lt`` selects the Pallas
+    HBM-line-table traversal (see :func:`shade_pixels`).
     """
     H = cfg.height
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     color, write = shade_pixels(
-        bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused
+        bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused, lt
     )
     # drop out-of-range rows and masked pixels (scatter mode="drop")
     py_w = jnp.where(write & (py < H), py, H)
