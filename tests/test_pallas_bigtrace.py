@@ -152,3 +152,39 @@ def test_render_frame_with_line_table(rng):
         bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(1), cfg, lt=lt
     )
     assert np.array_equal(np.asarray(fb_ref), np.asarray(fb_lt))
+
+
+def test_apply_edits_hbm_incremental(rng):
+    """Incremental line-table edits == rebuilding the table from the edited
+    brickmap, and the kernel traces the edited world correctly."""
+    import jax
+
+    from voxelengine_tpu.core.brickmap import apply_edits
+    from voxelengine_tpu.ops.pallas_bigtrace import apply_edits_hbm
+
+    bm = _world(rng, dims=(64, 64, 64), factor=8, fill=0.01)
+    lt = make_line_table(bm)
+
+    k = 40
+    xs = rng.integers(0, 64, k)
+    ys = rng.integers(0, 64, k)
+    zs = rng.integers(0, 64, k)
+    vals = rng.random(k) < 0.7
+    import jax.numpy as jnp
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731 (donation-safe)
+    bm_ref = apply_edits(copy(bm), xs, ys, zs, vals)
+    lt_ref = make_line_table(bm_ref)
+
+    bm2, lt2 = apply_edits_hbm(copy(bm), copy(lt), xs, ys, zs, vals)
+    assert np.array_equal(np.asarray(bm_ref.meta), np.asarray(bm2.meta))
+    assert np.array_equal(np.asarray(bm_ref.bricks), np.asarray(bm2.bricks))
+    assert np.array_equal(np.asarray(lt_ref.lines), np.asarray(lt2.lines))
+    assert np.array_equal(np.asarray(lt_ref.macro), np.asarray(lt2.macro))
+
+    origins, rays = _rays(rng, 256, bm2.world_dims)
+    ref = trace_brickmap(bm2, origins, rays, 256)
+    out = trace_brickmap_hbm(
+        bm2, lt2, origins, rays, 256, tile=256, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)

@@ -533,27 +533,22 @@ def build_brickmap(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def apply_edits(bm: BrickMap, x, y, z, value) -> BrickMap:
-    """Set a batch of world voxels to ``value`` and incrementally refresh the
-    coarse occupancy + tight bounds of the touched chunks.
-
-    Requires ``dense_slots`` mode (static shapes; no allocation).  This is
-    the capability the reference's atomic ``BitRef`` writes enable but never
-    wire to input (``VolumeRaytracer.cu:19-36``).  Buffer donation makes the
-    update in-place on device.
-    """
-    assert bm.dense_slots, "edits require dense_slots brickmaps"
+def _edit_coords(bm: BrickMap, x, y, z):
+    """Shared edit addressing: chunk ids, packed bit, word column, bit mask."""
     f = bm.factor
-    x = jnp.atleast_1d(jnp.asarray(x))
-    y = jnp.atleast_1d(jnp.asarray(y))
-    z = jnp.atleast_1d(jnp.asarray(z))
-    value = jnp.broadcast_to(jnp.asarray(value, jnp.bool_), x.shape)
-
     ci = bm.chunk_index(x // f, y // f, z // f)
     bit = sample_index(x % f, y % f, z % f, f, f, bm.brick_layout)
     word_col = bit >> 5
     mask = (jnp.uint32(1) << (bit & 31).astype(jnp.uint32)).astype(jnp.uint32)
+    return ci, word_col, mask
+
+
+def _apply_edits_impl(bm: BrickMap, x, y, z, value) -> BrickMap:
+    assert bm.dense_slots, "edits require dense_slots brickmaps"
+    f = bm.factor
+    value = jnp.broadcast_to(jnp.asarray(value, jnp.bool_), x.shape)
+
+    ci, word_col, mask = _edit_coords(bm, x, y, z)
 
     # sequential word read-modify-write so edits landing in the same uint32
     # word (adjacent voxels) compose correctly — the role of the reference's
@@ -591,3 +586,42 @@ def apply_edits(bm: BrickMap, x, y, z, value) -> BrickMap:
     bmax = jnp.stack([xhi, yhi, zhi], axis=-1) * occ[:, None]
     meta = bm.meta.at[uci].set(pack_meta(occ, bmin, bmax))
     return dataclasses.replace(bm, meta=meta, bricks=words)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def apply_edits(bm: BrickMap, x, y, z, value) -> BrickMap:
+    """Set a batch of world voxels to ``value`` and incrementally refresh the
+    coarse occupancy + tight bounds of the touched chunks.
+
+    Requires ``dense_slots`` mode (static shapes; no allocation).  This is
+    the capability the reference's atomic ``BitRef`` writes enable but never
+    wire to input (``VolumeRaytracer.cu:19-36``).  Buffer donation makes the
+    update in-place on device.
+    """
+    x = jnp.atleast_1d(jnp.asarray(x))
+    y = jnp.atleast_1d(jnp.asarray(y))
+    z = jnp.atleast_1d(jnp.asarray(z))
+    return _apply_edits_impl(bm, x, y, z, value)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def apply_edits_fused(bm: BrickMap, fused, x, y, z, value):
+    """:func:`apply_edits` plus an O(edits) in-place refresh of the fused
+    ``[meta | bricks]`` lookup table (:func:`voxelengine_tpu.ops.trace.
+    make_fused_table`) — K word writes instead of re-concatenating the
+    multi-GB table (round-1 edit latency was O(world) for exactly that
+    reason; the reference's analog is a few atomic word writes,
+    ``VolumeRaytracer.cu:19-36``).  Returns ``(bm, fused)``.
+    """
+    x = jnp.atleast_1d(jnp.asarray(x))
+    y = jnp.atleast_1d(jnp.asarray(y))
+    z = jnp.atleast_1d(jnp.asarray(z))
+    bm2 = _apply_edits_impl(bm, x, y, z, value)
+    ci, word_col, _ = _edit_coords(bm2, x, y, z)
+    wpb = bm2.words_per_brick
+    fused = fused.at[ci].set(bm2.meta[ci])
+    new_words = jax.lax.bitcast_convert_type(
+        bm2.bricks[ci, word_col], jnp.int32
+    )
+    fused = fused.at[bm2.num_chunks + ci * wpb + word_col].set(new_words)
+    return bm2, fused

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from voxelengine_tpu.config import MAX_STEPS
 from voxelengine_tpu.core.bitgrid import BitGrid
-from voxelengine_tpu.core.brickmap import BrickMap, apply_edits, build_brickmap
+from voxelengine_tpu.core.brickmap import BrickMap, apply_edits_fused, build_brickmap
 from voxelengine_tpu.ops.trace import TraceOut, make_fused_table, trace_brickmap
 
 F32 = jnp.float32
@@ -135,9 +135,14 @@ class VoxelRaytracer3D:
     # -- edits -------------------------------------------------------------
 
     def edit_voxels(self, x, y, z, value) -> None:
-        """Place/break voxels in-place (dense-slot worlds)."""
-        self._bm = apply_edits(self.world, x, y, z, value)
-        self._fused = make_fused_table(self._bm)
+        """Place/break voxels in-place (dense-slot worlds).
+
+        O(edits): donated word writes into the brickmap *and* the fused
+        lookup table — no multi-GB table rebuild (the reference's analog is
+        a few atomic word writes, ``VolumeRaytracer.cu:19-36``)."""
+        self._bm, self._fused = apply_edits_fused(
+            self.world, self._fused, x, y, z, value
+        )
 
     @property
     def fused_table(self):

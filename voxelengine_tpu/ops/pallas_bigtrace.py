@@ -128,6 +128,79 @@ def make_line_table(bm: BrickMap) -> LineTable:
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
+    """In-place voxel edits on a brickmap *and* its HBM line table.
+
+    O(edits): K word writes into ``lt.lines`` (meta + brick words) and an
+    incremental macro-occupancy refresh of the touched regions (one 512-word
+    gather per edit), instead of rebuilding the multi-GB table.  Requires
+    ``dense_slots`` (like :func:`voxelengine_tpu.core.brickmap.apply_edits`,
+    whose semantics this extends).  Returns ``(bm, lt)``.
+    """
+    from voxelengine_tpu.core.brickmap import _apply_edits_impl, _edit_coords
+
+    assert bm.dense_slots, "edits require dense_slots brickmaps"
+    x = jnp.atleast_1d(jnp.asarray(x))
+    y = jnp.atleast_1d(jnp.asarray(y))
+    z = jnp.atleast_1d(jnp.asarray(z))
+    bm2 = _apply_edits_impl(bm, x, y, z, value)
+    ci, word_col, _ = _edit_coords(bm2, x, y, z)
+    f = bm2.factor
+    gx, gy, gz = bm2.grid_dims
+    rx, ry, rz = lt.region_dims
+    wpb = bm2.words_per_brick
+    nr = lt.num_regions
+
+    cx, cy, cz = x // f, y // f, z // f
+    region = (cx >> 3) + rx * ((cy >> 3) + ry * (cz >> 3))
+    local = (cx & 7) + ((cy & 7) << 3) + ((cz & 7) << 6)
+
+    lines = lt.lines
+    # meta word (region record rows 0..3)
+    lines = lines.at[region * 8 + (local >> 7), local & 127].set(bm2.meta[ci])
+    # brick word (dense slots: slot == ci)
+    wg = ci * wpb + word_col
+    lines = lines.at[(nr + (wg >> 10)) * 8 + ((wg >> 7) & 7), wg & 127].set(
+        jax.lax.bitcast_convert_type(bm2.bricks[ci, word_col], jnp.int32)
+    )
+
+    # macro occupancy of the touched regions: OR over their 512 chunk metas
+    # (chunk ids of region r: base + dx + gx*dy + gx*gy*dz over the 8^3 cube,
+    # clipped chunks can't exist for dense in-range edits)
+    dx = jnp.arange(8)[None, :, None, None]
+    dy = jnp.arange(8)[None, None, :, None]
+    dz = jnp.arange(8)[None, None, None, :]
+    base_x = (cx >> 3)[:, None, None, None] * 8 + dx
+    base_y = (cy >> 3)[:, None, None, None] * 8 + dy
+    base_z = (cz >> 3)[:, None, None, None] * 8 + dz
+    inb = (base_x < gx) & (base_y < gy) & (base_z < gz)
+    cid = (
+        jnp.minimum(base_x, gx - 1)
+        + gx * (jnp.minimum(base_y, gy - 1) + gy * jnp.minimum(base_z, gz - 1))
+    )
+    occ_any = jnp.any(
+        (((bm2.meta[cid.reshape(ci.shape[0], -1)] >> 30) & 1) == 1)
+        & inb.reshape(ci.shape[0], -1),
+        axis=1,
+    )
+
+    # sequential RMW on the packed macro words (edits may share a word)
+    macro_flat = lt.macro.reshape(-1)
+
+    def body(i, m):
+        w = region[i] >> 5
+        b = (region[i] & 31).astype(jnp.uint32)
+        cur = jax.lax.bitcast_convert_type(m[w], jnp.uint32)
+        bit = (jnp.uint32(1) << b).astype(jnp.uint32)
+        nxt = jnp.where(occ_any[i], cur | bit, cur & ~bit)
+        return m.at[w].set(jax.lax.bitcast_convert_type(nxt, jnp.int32))
+
+    macro_flat = jax.lax.fori_loop(0, ci.shape[0], body, macro_flat)
+    lt2 = dataclasses.replace(lt, lines=lines, macro=macro_flat.reshape(8, 128))
+    return bm2, lt2
+
+
 def _axis_pick3(tx, ty, tz):
     """Reference tie-breaking (VolumeRaytracer.cu:293-313)."""
     ax = (tx < ty) & (tx < tz)
@@ -185,7 +258,7 @@ def _bigtrace_kernel(
     act_ref, padx_ref, pady_ref, padz_ref,
     lines_hbm,
     hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
-    cache_ref, tags_ref, rr_ref, sem_ref,
+    cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
     *,
     grid_dims,
     region_dims,
@@ -211,6 +284,8 @@ def _bigtrace_kernel(
     def _():
         tags_ref[:] = jnp.full((8, 128), -1, I32)
         rr_ref[0] = 0
+        for _k in range(dma_per_round):
+            started_ref[_k] = 0
 
     macro = macro_ref[:]
     sx, sy, sz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -242,7 +317,7 @@ def _bigtrace_kernel(
     zero = jnp.zeros((R, 128), F32)
     zeroi = jnp.zeros((R, 128), I32)
 
-    def inner(cache, carry):
+    def inner(cache, tag_vals, carry):
         (act, fine, pend, hit, imm, hit_imm, steps,
          ccx, ccy, ccz, ctx, cty, ctz, centry,
          fcx, fcy, fcz, ftx, fty, ftz,
@@ -313,7 +388,7 @@ def _bigtrace_kernel(
 
         cslot = jnp.full((R, 128), -1, I32)
         for s in range(S):
-            cslot = jnp.where(want_new == tags_ref[0, s], s, cslot)
+            cslot = jnp.where(want_new == tag_vals[s], s, cslot)
         resident = cslot >= 0
         served = resident & (want_new != NOLINE)
         word = _fetch_pass(cache, cslot, row, lane, S)
@@ -567,43 +642,51 @@ def _bigtrace_kernel(
         act, want = st[0], st[-1]
         active = act != 0
 
-        # ---- DMA round: serve up to dma_per_round missing lines ----
-        tags = tags_ref[:]
+        # ---- DMA round: start up to dma_per_round missing-line copies
+        # concurrently, then wait once (latency overlaps across misses) ----
         lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
         sub8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
         stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
+        res = jnp.zeros(stalled_want.shape, jnp.bool_)
+        for s in range(S):
+            res = res | (stalled_want == tags_ref[0, s])
+        stalled_want = jnp.where(res, NOLINE, stalled_want)
+        rr0 = rr_ref[0]
         for _k in range(dma_per_round):
-            # resident wants don't need a DMA
-            res = jnp.zeros(stalled_want.shape, jnp.bool_)
-            for s in range(S):
-                res = res | (stalled_want == tags_ref[0, s])
-            cand = jnp.where(res, NOLINE, stalled_want)
-            miss = jnp.min(cand)
+            miss = jnp.min(stalled_want)
 
             @pl.when(miss != NOLINE)
             def _():
-                slot = rr_ref[0] % S
+                slot = (rr0 + _k) % S
                 pltpu.make_async_copy(
                     lines_hbm.at[pl.ds(miss * 8, 8), :],
                     cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sem_ref,
+                    sems_ref.at[_k],
                 ).start()
-                pltpu.make_async_copy(
-                    lines_hbm.at[pl.ds(0, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sem_ref,
-                ).wait()
                 tags_ref[:] = jnp.where(
                     (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
                 )
-                rr_ref[0] = rr_ref[0] + 1
+                started_ref[_k] = 1
 
             stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
+        for _k in range(dma_per_round):
+            @pl.when(started_ref[_k] == 1)
+            def _():
+                slot = (rr0 + _k) % S
+                pltpu.make_async_copy(
+                    lines_hbm.at[pl.ds(0, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sems_ref.at[_k],
+                ).wait()
+                rr_ref[0] = rr_ref[0] + 1
+                started_ref[_k] = 0
 
-        # ---- inner steps ----
+        # ---- inner steps (tag scalars hoisted out of the hot loop) ----
         cache = cache_ref[:]
+        tag_vals = tuple(tags_ref[0, s] for s in range(S))
         st = jax.lax.fori_loop(
-            0, inner_steps, lambda i, c: inner(cache, c), st, unroll=False
+            0, inner_steps, lambda i, c: inner(cache, tag_vals, c), st,
+            unroll=False,
         )
         return (it + 1,) + st
 
@@ -740,7 +823,8 @@ def trace_brickmap_hbm(
             pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
             pltpu.VMEM((8, 128), I32),  # tags (row 0, lane s)
             pltpu.SMEM((2,), I32),  # round-robin counter
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((max(dma_per_round, 1),), I32),  # in-flight flags
+            pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
         ],
         interpret=interpret,
     )(lt.macro, *ins, lt.lines)

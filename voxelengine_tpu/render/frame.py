@@ -61,13 +61,21 @@ def primary_rays(cfg: RenderConfig, origin, euler, frame_number):
     W, H = cfg.width, cfg.height
     rows = H // 2 if cfg.checkerboard else H
     xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
-    if cfg.tile_order and W % 32 == 0 and rows % 32 == 0:
-        # order rays as 32x32 pixel blocks: the coherent-tile layout the
+    def _block_side(n):
+        # largest divisor of n that is <= 32 (1080p checkerboard: 540 -> 27)
+        for b in range(32, 0, -1):
+            if n % b == 0:
+                return b
+        return 1
+
+    bw, bh = _block_side(W), _block_side(rows)
+    if cfg.tile_order and bw * bh > 1:
+        # order rays as ~32x32 pixel blocks: the coherent-tile layout the
         # Pallas traversal wants (neighbouring rays share cache lines);
         # px/py travel with the rays, so the final scatter needs no inverse
         def blocked(a):
             return (
-                a.reshape(rows // 32, 32, W // 32, 32)
+                a.reshape(rows // bh, bh, W // bw, bw)
                 .transpose(0, 2, 1, 3)
                 .reshape(-1)
             )
