@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--world", type=int, default=512)
     ap.add_argument("--factor", type=int, default=8)  # DDATestCpp.cpp:324
-    ap.add_argument("--rays", type=int, default=100000)
+    ap.add_argument("--rays", type=int, default=1000000)  # DDATestCpp.cpp:21
     ap.add_argument("--out", default="frames/dda2d.ppm")
     args = ap.parse_args()
 

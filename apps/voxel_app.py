@@ -32,7 +32,8 @@ from voxelengine_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from voxelengine_tpu import Environment, RenderConfig, VoxelRaytracer3D
-from voxelengine_tpu.config import DebugView
+from voxelengine_tpu.config import DebugView, Projection
+from voxelengine_tpu.render.camera import get_directions
 from voxelengine_tpu.core.brickmap import apply_edits
 from voxelengine_tpu.io.checkpoint import generate_or_load
 from voxelengine_tpu.core.brickmap import build_brickmap_terrain
@@ -66,6 +67,10 @@ def main():
     ap.add_argument("--record", action="store_true", help="save numbered PPMs")
     ap.add_argument("--dense", action="store_true",
                     help="dense-grid world on the fused MXU kernel (worlds <= ~160^3; realtime)")
+    ap.add_argument("--ortho", action="store_true",
+                    help="orthographic projection (the reference's #define ORTHO); scroll zooms")
+    ap.add_argument("--xla-trace", action="store_true",
+                    help="force the XLA staged traversal instead of the Pallas line-table kernel")
     args = ap.parse_args()
 
     if args.dense:
@@ -77,7 +82,7 @@ def main():
     else:
         with timed("Voxel generation + buffer generation time"):  # main.cu:26,32
             bm = build_world(tuple(args.size), args.factor, args.octaves)
-        rt = VoxelRaytracer3D()
+        rt = VoxelRaytracer3D(line_table=not args.xla_trace)
         rt.upload_world(bm)
 
     cfg = RenderConfig(
@@ -85,6 +90,8 @@ def main():
         height=args.height,
         debug_view=DebugView.DEBUG if args.debug_view else DebugView.SHADED,
         checkerboard=True,
+        projection=Projection.ORTHOGRAPHIC if args.ortho else Projection.PERSPECTIVE,
+        tile_order=not args.xla_trace and not args.dense,
     )
     env = Environment.default()  # main.cu:58-63
 
@@ -105,19 +112,18 @@ def main():
     frame = 0
     running = True
 
+    MOUSE_SENS = 0.004  # rad/px, the reference's drag sensitivity (main.cu:155-156)
+
     def on_frame(data):
-        nonlocal fb, cam_pos, euler, frame, running
+        nonlocal fb, cam_pos, euler, frame, running, cfg
         speed = 2.0
         for ev in src.poll():
-            fwd = np.array(
-                [
-                    -math.cos(euler[0]) * math.sin(euler[1]),
-                    math.sin(euler[0]),
-                    -math.cos(euler[0]) * math.cos(euler[1]),
-                ],
-                np.float32,
-            )
-            right = np.array([math.cos(euler[1]), 0.0, -math.sin(euler[1])], np.float32)
+            # one camera-basis implementation for rendering AND movement
+            # (get_directions already applies the reference's fwd/up
+            # negation, Renderer.cu:32-41 — its fwd IS the look direction)
+            fwdj, _, rightj = get_directions(jnp.asarray(euler))
+            fwd = np.asarray(fwdj)
+            right = np.asarray(rightj)
             if ev.key == "quit":
                 running = False
             elif ev.key == "w":
@@ -140,13 +146,27 @@ def main():
                 euler[0] -= 0.04
             elif ev.key == "down":
                 euler[0] += 0.04
+            elif ev.key.startswith("drag:"):
+                # mouse-look analog: 'drag:dx,dy' in pixels at the
+                # reference's 0.004 rad/px sensitivity (main.cu:149-161)
+                dx, dy = (float(v) for v in ev.key[5:].split(","))
+                euler[1] -= dx * MOUSE_SENS
+                euler[0] -= dy * MOUSE_SENS
+            elif ev.key.startswith("scroll:"):
+                # scroll wheel = ortho window zoom +-10 (main.cu:94-107)
+                dz = float(ev.key[7:])
+                ow, oh = cfg.ortho_size
+                import dataclasses as _dc
+
+                cfg = _dc.replace(
+                    cfg,
+                    ortho_size=(max(ow - dz * 10.0, 1.0), max(oh - dz * 10.0, 1.0)),
+                )
             elif ev.key in ("f", "g") and rt is not None:
                 # crosshair voxel break/place
-                from voxelengine_tpu.render.camera import get_directions
-
-                fwdj, _, _ = get_directions(jnp.asarray(euler))
+                fwdj2, _, _ = get_directions(jnp.asarray(euler))
                 res = trace_brickmap(
-                    rt.world, jnp.asarray(cam_pos)[None], fwdj[None], cfg.max_steps
+                    rt.world, jnp.asarray(cam_pos)[None], fwdj2[None], cfg.max_steps
                 )
                 if bool(res.hit[0]):
                     p = np.asarray(res.position[0])
@@ -168,7 +188,7 @@ def main():
         else:
             fb = render_frame(
                 rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
-                jnp.int32(frame), cfg, rt.fused_table,
+                jnp.int32(frame), cfg, rt.fused_table, rt.line_table,
             )
         data.pixels[...] = np.asarray(to_bgra8(fb))
         frame += 1

@@ -31,6 +31,14 @@ WORLDS = {
 }
 
 
+def lockstep_stats(steps, tile):
+    """Per-tile max vs mean: the in-tile lockstep ceiling."""
+    t = steps[: steps.size // tile * tile].reshape(-1, tile)
+    print(f"  lockstep tile={tile}: mean {t.mean():.1f}  "
+          f"avg-tile-max {t.max(axis=1).mean():.1f}  "
+          f"waste-factor {t.max(axis=1).mean()/t.mean():.2f}", flush=True)
+
+
 def main():
     world = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 1920 * 1080 // 2
@@ -87,6 +95,9 @@ def main():
               f"steps mean {steps.mean():.1f} p99 {np.percentile(steps, 99):.0f}"
               f"  (compile {t_first:.1f}s)",
               flush=True)
+        if "--lockstep" in sys.argv:
+            for t in (1024, 2048, 4096):
+                lockstep_stats(steps, t)
 
     if "--verify" in sys.argv:
         fused = make_fused_table(bm)
@@ -104,3 +115,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

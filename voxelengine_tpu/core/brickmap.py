@@ -617,11 +617,25 @@ def apply_edits_fused(bm: BrickMap, fused, x, y, z, value):
     y = jnp.atleast_1d(jnp.asarray(y))
     z = jnp.atleast_1d(jnp.asarray(z))
     bm2 = _apply_edits_impl(bm, x, y, z, value)
+    return bm2, _update_fused_words_impl(bm2, fused, x, y, z)
+
+
+def _update_fused_words_impl(bm2: BrickMap, fused, x, y, z):
     ci, word_col, _ = _edit_coords(bm2, x, y, z)
     wpb = bm2.words_per_brick
     fused = fused.at[ci].set(bm2.meta[ci])
     new_words = jax.lax.bitcast_convert_type(
         bm2.bricks[ci, word_col], jnp.int32
     )
-    fused = fused.at[bm2.num_chunks + ci * wpb + word_col].set(new_words)
-    return bm2, fused
+    return fused.at[bm2.num_chunks + ci * wpb + word_col].set(new_words)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def update_fused_words(bm2: BrickMap, fused, x, y, z):
+    """Refresh the fused table's K touched words from an already-edited
+    brickmap (companion to :func:`apply_edits_fused` when the edit itself
+    ran through another path, e.g. the line-table variant)."""
+    x = jnp.atleast_1d(jnp.asarray(x))
+    y = jnp.atleast_1d(jnp.asarray(y))
+    z = jnp.atleast_1d(jnp.asarray(z))
+    return _update_fused_words_impl(bm2, fused, x, y, z)

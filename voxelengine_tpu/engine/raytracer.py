@@ -82,9 +82,11 @@ class VoxelRaytracer3D:
     but never expose) and the convenience ``upload_world``.
     """
 
-    def __init__(self, verbose_timing: bool = False):
+    def __init__(self, verbose_timing: bool = False, line_table: bool = True):
         self._bm: Optional[BrickMap] = None
         self._fused = None  # cached single-gather lookup table
+        self._lt = None  # HBM line table (Pallas flagship traversal)
+        self._want_lt = line_table
         self._factor = 1
         self._verbose = verbose_timing
         self.last_kernel_ms: float = 0.0
@@ -93,9 +95,16 @@ class VoxelRaytracer3D:
 
     def upload_world(self, bm: BrickMap) -> None:
         """Upload a prebuilt brickmap (one device_put of flat arrays)."""
+        from voxelengine_tpu.core.layout import Layout
+
         self._bm = jax.device_put(bm)
         self._fused = make_fused_table(self._bm)
         self._factor = bm.factor
+        self._lt = None
+        if self._want_lt and bm.coarse_layout is Layout.LINEAR:
+            from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+
+            self._lt = make_line_table(self._bm)
 
     def upload_voxel_buffer(self, grid: BitGrid, factor: Optional[int] = None) -> None:
         """Build + upload the two-level structure from a dense grid — the
@@ -137,13 +146,28 @@ class VoxelRaytracer3D:
     def edit_voxels(self, x, y, z, value) -> None:
         """Place/break voxels in-place (dense-slot worlds).
 
-        O(edits): donated word writes into the brickmap *and* the fused
-        lookup table — no multi-GB table rebuild (the reference's analog is
-        a few atomic word writes, ``VolumeRaytracer.cu:19-36``)."""
-        self._bm, self._fused = apply_edits_fused(
-            self.world, self._fused, x, y, z, value
-        )
+        O(edits): donated word writes into the brickmap, the fused lookup
+        table, and (when present) the HBM line table — no multi-GB table
+        rebuild (the reference's analog is a few atomic word writes,
+        ``VolumeRaytracer.cu:19-36``)."""
+        if self._lt is not None:
+            from voxelengine_tpu.ops.pallas_bigtrace import apply_edits_hbm
+
+            self._bm, self._lt = apply_edits_hbm(
+                self.world, self._lt, x, y, z, value
+            )
+            from voxelengine_tpu.core.brickmap import update_fused_words
+
+            self._fused = update_fused_words(self._bm, self._fused, x, y, z)
+        else:
+            self._bm, self._fused = apply_edits_fused(
+                self.world, self._fused, x, y, z, value
+            )
 
     @property
     def fused_table(self):
         return self._fused
+
+    @property
+    def line_table(self):
+        return self._lt
