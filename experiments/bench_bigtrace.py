@@ -98,6 +98,24 @@ def main():
         if "--lockstep" in sys.argv:
             for t in (1024, 2048, 4096):
                 lockstep_stats(steps, t)
+        if "--sorted" in sys.argv:
+            # ideal temporal-sort: reorder rays by this trace's own step
+            # counts (a real renderer would use last frame's buffer) and
+            # re-measure -- isolates the lockstep-vs-coherence tradeoff
+            perm = np.argsort(steps, kind="stable")
+            o2 = jnp.asarray(np.asarray(o)[perm])
+            d2 = jnp.asarray(np.asarray(d)[perm])
+            out2 = trace_brickmap_hbm(bm, lt, o2, d2, 2048, **kw)
+            out2.hit.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out2 = trace_brickmap_hbm(bm, lt, o2, d2, 2048, **kw)
+            out2.hit.block_until_ready()
+            dts = (time.perf_counter() - t0) / reps
+            s2 = np.asarray(out2.steps)
+            print(f"  sorted: {dts*1000:.1f} ms -> {n_rays/dts/1e6:.2f} Mrays/s", flush=True)
+            for t in (1024, 2048):
+                lockstep_stats(s2, t)
 
     if "--verify" in sys.argv:
         fused = make_fused_table(bm)

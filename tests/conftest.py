@@ -1,16 +1,26 @@
 """Test harness configuration: run everything on a virtual 8-device CPU mesh
-(multi-chip sharding paths validated without TPU hardware)."""
+(multi-chip sharding paths validated without TPU hardware).
+
+VOX_TPU_TESTS=1 skips the CPU forcing so the TPU smoke lane
+(test_tpu_smoke.py) can compile the Pallas kernels on real hardware:
+    VOX_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_LANE = os.environ.get("VOX_TPU_TESTS") == "1"
+if not _TPU_LANE:
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
