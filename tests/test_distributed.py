@@ -66,3 +66,25 @@ def test_zsharded_axis_aligned_migrators(rng, mesh):
     assert np.allclose(
         np.asarray(a.position)[hits], np.asarray(b.position)[hits], atol=1e-5
     )
+
+
+def test_zsharded_render_matches_single_device(rng, mesh):
+    """render_frame over a z-sharded world == plain render_frame."""
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.parallel.distributed import render_frame_zsharded
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm, _, _ = _world_and_rays(rng)
+    cfg = RenderConfig(
+        width=128, height=64, checkerboard=True, staged_trace=False
+    )
+    env = Environment.default()
+    origin = jnp.asarray([96.0, 80.0, 96.0], jnp.float32)
+    euler = jnp.asarray([-0.6, 0.7, 0.0], jnp.float32)
+    fa, fb = make_framebuffer(cfg), make_framebuffer(cfg)  # both donated
+    for i in range(2):  # both checkerboard parities
+        fa = render_frame(bm, fa, origin, euler, env, jnp.int32(i), cfg)
+        fb = render_frame_zsharded(
+            bm, fb, origin, euler, env, jnp.int32(i), cfg, mesh
+        )
+    assert np.allclose(np.asarray(fa), np.asarray(fb), atol=1e-6)

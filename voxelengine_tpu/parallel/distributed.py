@@ -5,16 +5,20 @@ pixel sharding in :mod:`voxelengine_tpu.parallel.sharded`): the brickmap is
 partitioned into coarse-z slabs, one per device, so worlds larger than a
 single chip's HBM can be traced.  Rays *migrate* between devices:
 
-1. every device holds the full (replicated) ray state plus an ``owner``
-   assignment (the slab containing each ray's current coarse cell);
+1. every device holds a full-size ray-state buffer but *owns* only the
+   rays whose current coarse cell lies in its slab (ownership is exclusive
+   and total: it starts from the entry cell and moves atomically);
 2. each round, a device advances only its own rays against its local slab
    (the traversal pauses rays at slab boundaries with state intact —
    ``ops.trace._run_loop(slab=...)``);
-3. paused rays are reassigned to the neighboring slab and the updated
-   state is merged across devices with a ``psum`` (each ray is owned by at
-   most one device, so masked contributions sum losslessly).
+3. paused rays are handed to the adjacent slab **point-to-point**: two
+   neighbor ``ppermute``s (one +z, one -z) carry the state and a migration
+   mask — single-hop ICI transfers, no all-reduce on the round path;
+4. after all rounds, one final masked ``psum`` assembles the results from
+   each ray's last owner.
 
-A ray enters each convex slab at most once, so ``n_devices`` rounds suffice.
+A ray's slab sequence is monotonic in z (fixed direction sign), so it
+enters each slab at most once and ``n_devices`` rounds suffice.
 Collectives ride the mesh (ICI on real hardware); the world never does.
 """
 
@@ -89,21 +93,30 @@ def _trace_zsharded(
     gx, gy, gz = spec[0], spec[1], spec[2]
     slab_gz = gz // n_dev
 
+    up = [(i, i + 1) for i in range(n_dev - 1)]
+    down = [(i + 1, i) for i in range(n_dev - 1)]
+
     def shard(meta, bricks, origins, rays):
         my = jax.lax.axis_index("shards")
         bm_local = _slab_bm(spec, meta[0], bricks[0], slab_gz)
         st = _init_state(bm_local, origins, rays, full_gz=gz)
-        owner = jnp.clip(st.ccell[:, 2] // slab_gz, 0, n_dev - 1)
+        # exclusive, total ownership: the slab of the ray's entry cell
+        owned = jnp.clip(st.ccell[:, 2] // slab_gz, 0, n_dev - 1) == my
+
+        def pperm(x, perm):
+            # collective-permute wants arithmetic dtypes; round-trip bools
+            if x.dtype == jnp.bool_:
+                return jax.lax.ppermute(x.astype(I32), "shards", perm) > 0
+            return jax.lax.ppermute(x, "shards", perm)
 
         for _ in range(n_dev):
-            mine = st.active & (owner == my)
-            st_in = st._replace(active=mine)
-            z0 = my * slab_gz
+            mine = st.active & owned
             st_out = _run_loop(
-                bm_local, st_in, max_steps, 2 * max_steps + 8,
-                slab=(z0, gz),
+                bm_local, st._replace(active=mine), max_steps,
+                2 * max_steps + 8, slab=(my * slab_gz, gz),
             )
-            # paused rays (state intact, still in-grid, outside my slab)
+            # paused rays (state intact, still in-grid, outside my slab);
+            # non-mine lanes pass through _run_loop untouched
             paused = (
                 mine
                 & ~st_out.active
@@ -113,41 +126,38 @@ def _trace_zsharded(
                 & (st_out.ccell[:, 2] < gz)
                 & ~st_out.in_fine
             )
-            new_owner_mine = jnp.clip(st_out.ccell[:, 2] // slab_gz, 0, n_dev - 1)
+            new_owner = jnp.clip(st_out.ccell[:, 2] // slab_gz, 0, n_dev - 1)
+            go_up = paused & (new_owner > my)
+            go_down = paused & (new_owner < my)
+            # migrating rays travel re-armed so the receiver resumes them
+            st = st_out._replace(active=st_out.active | paused, it=jnp.int32(0))
 
-            # merge: each ray is updated by at most one device, so a psum
-            # of masked contributions reconstructs the global state; rays
-            # owned by nobody keep their previous (replicated) state
-            owned = jax.lax.psum(mine.astype(I32), "shards") > 0
+            # point-to-point handoff: single-hop neighbor ppermutes of the
+            # state + migration masks (devices outside a perm receive zeros)
+            from_dn_mask = pperm(go_up, up)  # arriving from my-1
+            from_up_mask = pperm(go_down, down)  # arriving from my+1
+            st_from_dn = jax.tree.map(lambda x: pperm(x, up), st)
+            st_from_up = jax.tree.map(lambda x: pperm(x, down), st)
 
-            def merge(old, new):
-                if new.ndim >= 1 and new.shape[0] == mine.shape[0]:
-                    m = mine.reshape((-1,) + (1,) * (new.ndim - 1))
-                    ow = owned.reshape((-1,) + (1,) * (new.ndim - 1))
-                else:
-                    return old
-                if new.dtype == jnp.bool_:
-                    contrib = jnp.where(m, new, False)
-                    summed = jax.lax.psum(contrib.astype(I32), "shards") > 0
-                else:
-                    contrib = jnp.where(m, new, jnp.zeros_like(new))
-                    summed = jax.lax.psum(contrib, "shards")
-                return jnp.where(ow, summed.astype(new.dtype), old)
+            def overlay(cur, a, b):
+                if cur.ndim >= 1 and cur.shape[0] == mine.shape[0]:
+                    ma = from_dn_mask.reshape((-1,) + (1,) * (cur.ndim - 1))
+                    mb = from_up_mask.reshape((-1,) + (1,) * (cur.ndim - 1))
+                    return jnp.where(ma, a, jnp.where(mb, b, cur))
+                return cur
+            st = jax.tree.map(overlay, st, st_from_dn, st_from_up)
+            owned = (owned & ~go_up & ~go_down) | from_dn_mask | from_up_mask
 
-            st = jax.tree.map(merge, st, st_out)
-            st = st._replace(it=jnp.int32(0))
+        # final assembly: each ray's result lives on its last owner
+        out = _finalize(st, spec[3])
 
-            # ownership handoff for paused rays
-            paused_any = jax.lax.psum(jnp.where(mine & paused, 1, 0), "shards") > 0
-            new_owner_sum = jax.lax.psum(
-                jnp.where(mine & paused, new_owner_mine, 0), "shards"
-            )
-            owner = jnp.where(paused_any, new_owner_sum, owner)
-            # reactivate paused rays for their new owner
-            reactivate = paused_any
-            st = st._replace(active=st.active | reactivate)
+        def gather(x):
+            m = owned.reshape((-1,) + (1,) * (x.ndim - 1))
+            if x.dtype == jnp.bool_:
+                return jax.lax.psum(jnp.where(m, x, False).astype(I32), "shards") > 0
+            return jax.lax.psum(jnp.where(m, x, jnp.zeros_like(x)), "shards")
 
-        return _finalize(st, spec[3])
+        return jax.tree.map(gather, out)
 
     return jax.shard_map(
         shard,
@@ -171,3 +181,36 @@ def trace_brickmap_zsharded(
     return _trace_zsharded(
         spec, meta_stack, bricks_stack, origins, rays, mesh, max_steps
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
+def render_frame_zsharded(
+    bm: BrickMap,
+    framebuffer: jax.Array,
+    origin,
+    euler,
+    env,
+    frame_number,
+    cfg,
+    mesh: Mesh,
+) -> jax.Array:
+    """``render_frame`` over a z-slab-sharded world: the distributed-memory
+    frame entry (the world is partitioned across the mesh; only ray state
+    crosses ICI).  Exact :func:`voxelengine_tpu.render.frame.render_frame`
+    semantics for the primary-ray render modes; secondary-trace shading
+    (shadow rays, AO) would need further distributed trace rounds and is
+    not supported on this path.
+    """
+    from voxelengine_tpu.render.frame import primary_rays, shade_traced
+
+    assert not cfg.shadow_rays and cfg.ao_samples == 0, (
+        "zsharded render: secondary-trace shading unsupported"
+    )
+    H = cfg.height
+    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
+    color, write = shade_traced(
+        None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+    )
+    py_w = jnp.where(write & (py < H), py, H)
+    return framebuffer.at[py_w, px].set(color, mode="drop")
