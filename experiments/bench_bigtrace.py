@@ -58,34 +58,35 @@ def main():
           f"({lt.lines.nbytes/1e6:.0f} MB)  regions {lt.num_regions}", flush=True)
 
     # camera rays: half-field 1080p-equivalent, from a hill looking across
-    cfg = RenderConfig(width=1920, height=1080 // 2, checkerboard=False)
+    cfg = RenderConfig(width=1920, height=1080 // 2, checkerboard=False,
+                       tile_order="--tiled" in sys.argv)
     origin = jnp.asarray([dims[0] / 2, min(380.0, dims[1] * 0.75), dims[2] / 2], jnp.float32)
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
     o, d, _, _, _ = primary_rays(cfg, origin, euler, jnp.int32(0))
     o, d = o[:n_rays], d[:n_rays]
-    if "--tiled" in sys.argv:
-        # reorder rays into 32x32 pixel blocks (coherent kernel tiles)
-        W = cfg.width
-        rows = n_rays // W
-        assert n_rays % W == 0 and rows % 32 == 0 and W % 32 == 0, (W, rows)
-        perm = (np.arange(W * rows).reshape(rows // 32, 32, W // 32, 32)
-                .transpose(0, 2, 1, 3).reshape(-1))
-        o = jnp.asarray(np.asarray(o)[perm])
-        d = jnp.asarray(np.asarray(d)[perm])
+
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_staged
 
     import os
     sweep = os.environ.get("SWEEP", "1024,16,8,4")
     for part in sweep.split():
-        tile, ns, istp, dpr = (int(v) for v in part.split(","))
+        vals = [int(v) for v in part.split(",")]
+        tile, ns, istp, dpr = vals[:4]
         kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr)
+        if len(vals) >= 6 and vals[4] > 0:  # tile,ns,istp,dpr,stage,frac
+            fn = lambda: trace_brickmap_hbm_staged(
+                bm, lt, o, d, 2048, stage_steps=vals[4], tail_frac=vals[5], **kw
+            )
+        else:
+            fn = lambda: trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
         t0 = time.perf_counter()
-        out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
+        out = fn()
         out.hit.block_until_ready()
         t_first = time.perf_counter() - t0
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = trace_brickmap_hbm(bm, lt, o, d, 2048, **kw)
+            out = fn()
         out.hit.block_until_ready()
         dt = (time.perf_counter() - t0) / reps
         hit = np.asarray(out.hit)
@@ -98,6 +99,12 @@ def main():
         if "--lockstep" in sys.argv:
             for t in (1024, 2048, 4096):
                 lockstep_stats(steps, t)
+        if "--iters" in sys.argv and len(vals) < 6:
+            _, iters = trace_brickmap_hbm(bm, lt, o, d, 2048, return_iters=True, **kw)
+            it = np.asarray(iters)[::tile]  # one per kernel tile
+            print(f"  tile iterations: mean {it.mean():.0f} p50 {np.percentile(it,50):.0f} "
+                  f"p99 {np.percentile(it,99):.0f} max {it.max()}  "
+                  f"sum {it.sum()} (steps-sum {steps.sum()})", flush=True)
         if "--sorted" in sys.argv:
             # ideal temporal-sort: reorder rays by this trace's own step
             # counts (a real renderer would use last frame's buffer) and

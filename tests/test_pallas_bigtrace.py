@@ -188,3 +188,34 @@ def test_apply_edits_hbm_incremental(rng):
         bm2, lt2, origins, rays, 256, tile=256, num_slots=4, interpret=True
     )
     _assert_match(out, ref)
+
+
+def test_bigtrace_staged_matches_plain(rng):
+    """Straggler-compacted wrapper == single full-budget launch exactly."""
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_staged
+
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 512, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 256)
+    out = trace_brickmap_hbm_staged(
+        bm, lt, origins, rays, 256,
+        stage_steps=24, tail_frac=4, tile=256, num_slots=4,
+    )
+    _assert_match(out, ref, atol=1e-5)
+
+
+def test_bigtrace_staged_overflow_rescued(rng):
+    """A tail buffer far below the survivor count triggers the cond rescue:
+    results still equal the plain full-budget trace exactly."""
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_staged
+
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 2048, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 256)
+    out = trace_brickmap_hbm_staged(
+        bm, lt, origins, rays, 256,
+        stage_steps=4, tail_frac=2048, tile=256, num_slots=4,
+    )
+    _assert_match(out, ref, atol=1e-5)

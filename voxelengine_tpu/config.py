@@ -94,3 +94,8 @@ class RenderConfig:
     trace_tile: int = 1024
     trace_slots: int = 8
     tile_order: bool = False
+    # Pallas straggler compaction (trace_brickmap_hbm_staged): first-pass
+    # step budget (0 = single launch at max_steps) and tail-buffer divisor.
+    # Never truncates: overflow triggers a full rescue pass (lax.cond).
+    trace_stage_steps: int = 0
+    trace_tail_frac: int = 8

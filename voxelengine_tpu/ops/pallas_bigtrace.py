@@ -201,6 +201,83 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     return bm2, lt2
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_steps", "stage_steps", "tail_frac",
+        "tile", "num_slots", "inner_steps", "dma_per_round", "use_macro",
+    ),
+)
+def trace_brickmap_hbm_staged(
+    bm: BrickMap,
+    lt: LineTable,
+    origins,
+    rays,
+    max_steps: int = MAX_STEPS,
+    stage_steps: int = 128,
+    tail_frac: int = 8,
+    tile: int = 1024,
+    num_slots: int = 16,
+    inner_steps: int = 8,
+    dma_per_round: int = 4,
+    use_macro: bool = True,
+) -> TraceOut:
+    """Straggler-compacted HBM trace: the Pallas analog of
+    :func:`voxelengine_tpu.ops.trace.trace_brickmap_staged`.
+
+    A kernel tile runs until its *slowest* ray finishes, and primary-ray
+    path lengths are heavy-tailed (horizon tiles run 5-20x the mean), so a
+    single launch pays ~2x the mean in lockstep waste.  This wrapper runs
+    the kernel at a small step budget (``stage_steps``, sized near the
+    scene's p95), then gathers the budget-truncated rays into a dense
+    ``n/tail_frac`` buffer and retraces them from scratch at the full
+    budget — compacted stragglers fill tiles with uniformly-long rays, so
+    the tail pass wastes nothing.  Exact: a retrace from t=0 follows the
+    identical DDA path, and if survivors ever exceed the tail buffer a
+    ``lax.cond``-guarded full-width full-budget rescue pass (cost only
+    when triggered) finishes the rest — results always equal
+    :func:`trace_brickmap_hbm` at ``max_steps``.
+    """
+    kw = dict(
+        tile=tile, num_slots=num_slots, inner_steps=inner_steps,
+        dma_per_round=dma_per_round, use_macro=use_macro,
+    )
+    origins = jnp.asarray(origins, F32)
+    rays = jnp.asarray(rays, F32)
+    n = origins.shape[0]
+    out1 = trace_brickmap_hbm(bm, lt, origins, rays, stage_steps, **kw)
+    # budget-truncated rays: not hit and charged the full stage budget
+    surv = ~out1.hit & (out1.steps >= stage_steps)
+
+    buf_n = min(n, max(tile, -(-n // tail_frac // tile) * tile))
+    order = jnp.argsort(~surv)[:buf_n]
+    sel = jnp.take(surv, order)
+    out2 = trace_brickmap_hbm(
+        bm, lt, jnp.take(origins, order, axis=0),
+        jnp.take(rays, order, axis=0), max_steps, **kw,
+    )
+
+    def merge(full, tail):
+        keep = jnp.take(full, order, axis=0)
+        t = jnp.where(sel.reshape((-1,) + (1,) * (tail.ndim - 1)), tail, keep)
+        return full.at[order].set(t)
+
+    outs = TraceOut(
+        hit=merge(out1.hit, out2.hit),
+        position=merge(out1.position, out2.position),
+        normal=merge(out1.normal, out2.normal),
+        steps=merge(out1.steps, out2.steps),
+    )
+    # overflow rescue (same guarantee as trace_brickmap_staged): if the
+    # tail buffer was too small, finish everything at full width
+    dropped = jnp.sum(surv) > buf_n
+    return jax.lax.cond(
+        dropped,
+        lambda: trace_brickmap_hbm(bm, lt, origins, rays, max_steps, **kw),
+        lambda: outs,
+    )
+
+
 def _axis_pick3(tx, ty, tz):
     """Reference tie-breaking (VolumeRaytracer.cu:293-313)."""
     ax = (tx < ty) & (tx < tz)
@@ -219,7 +296,10 @@ def _fetch_pass(cache, cslot, row, lane, S: int):
     select picks the ray's slot.  Rays with cslot < 0 receive unspecified
     values — callers must mask on residency.  All ops stay in native
     [8,128] vreg form (1D slicing/concat across sublanes does not lower on
-    v5e Mosaic — probe D8).
+    v5e Mosaic — probe D8).  NOTE: guarding each slot's pass with
+    ``pl.when(any lane wants it)`` was measured 2.3x SLOWER on v5e (the
+    per-slot vector->scalar reductions + branches stall the VPU pipeline)
+    — keep this branch-free.
     """
     R = cslot.shape[0]
     sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
@@ -258,6 +338,7 @@ def _bigtrace_kernel(
     act_ref, padx_ref, pady_ref, padz_ref,
     lines_hbm,
     hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
+    iters_ref,
     cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
     *,
     grid_dims,
@@ -304,6 +385,11 @@ def _bigtrace_kernel(
     ctx0 = jnp.where(dx != 0.0, ((ccx0 + (stx > 0)).astype(F32) - sx) / dx, BIG)
     cty0 = jnp.where(dy != 0.0, ((ccy0 + (sty > 0)).astype(F32) - sy) / dy, BIG)
     ctz0 = jnp.where(dz != 0.0, ((ccz0 + (stz > 0)).astype(F32) - sz) / dz, BIG)
+    # ray-invariant AABB slab reciprocals (hoisted out of the hot loop)
+    eps32 = 1.1920929e-07
+    ivx = 1.0 / jnp.where(dx == 0.0, eps32, dx)
+    ivy = 1.0 / jnp.where(dy == 0.0, eps32, dy)
+    ivz = 1.0 / jnp.where(dz == 0.0, eps32, dz)
 
     if brick_layout is Layout.LINEAR:
         def brick_bit(x, y, z):
@@ -421,10 +507,6 @@ def _bigtrace_kernel(
         box_hix = clx.astype(F32) + (bmxx + 1.0) / f
         box_hiy = cly.astype(F32) + (bmxy + 1.0) / f
         box_hiz = clz.astype(F32) + (bmxz + 1.0) / f
-        eps32 = 1.1920929e-07
-        ivx = 1.0 / jnp.where(dx == 0.0, eps32, dx)
-        ivy = 1.0 / jnp.where(dy == 0.0, eps32, dy)
-        ivz = 1.0 / jnp.where(dz == 0.0, eps32, dz)
         t1x = jnp.minimum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
         t2x = jnp.maximum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
         t1y = jnp.minimum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
@@ -719,13 +801,15 @@ def _bigtrace_kernel(
     ny_ref[:] = noy
     nz_ref[:] = noz
     steps_ref[:] = steps
+    # lockstep/stall diagnostic: iterations this tile actually ran
+    iters_ref[:] = jnp.full((R, 128), out[0] * inner_steps, I32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_steps", "tile", "num_slots", "inner_steps", "dma_per_round",
-        "use_macro", "interpret",
+        "use_macro", "interpret", "return_iters",
     ),
 )
 def trace_brickmap_hbm(
@@ -740,12 +824,16 @@ def trace_brickmap_hbm(
     dma_per_round: int = 4,
     use_macro: bool = True,
     interpret: bool | None = None,
+    return_iters: bool = False,
 ) -> TraceOut:
     """Two-level brickmap trace through the HBM line table (see module doc).
 
     Semantics match :func:`voxelengine_tpu.ops.trace.trace_brickmap` (hits,
     positions, normals; step counts additionally charge macro-skipped
-    distance exactly, so they match too).
+    distance exactly, so they match too).  ``return_iters=True`` appends a
+    per-ray diagnostic: the iteration count its kernel tile actually ran
+    (lockstep + DMA-stall total; the per-tile analog of the reference's
+    steps/256 heatmap, ``Renderer.cu:270-275``).
     """
     if interpret is None:
         # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
@@ -815,10 +903,10 @@ def trace_brickmap_hbm(
         kern,
         grid=(ntiles,),
         in_specs=in_specs,
-        out_specs=[ray_spec] * 8,
+        out_specs=[ray_spec] * 9,
         out_shape=[jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)]
         + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), F32)] * 6
-        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)],
+        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)] * 2,
         scratch_shapes=[
             pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
             pltpu.VMEM((8, 128), I32),  # tags (row 0, lane s)
@@ -837,4 +925,7 @@ def trace_brickmap_hbm(
     steps = outs[7].reshape(-1)[:n]
     pos = jnp.where(hit_imm[:, None], start_c * F32(f), pos)
     nrm = jnp.where(hit_imm[:, None], start_normal, nrm)
-    return TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
+    res = TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
+    if return_iters:
+        return res, outs[8].reshape(-1)[:n]
+    return res

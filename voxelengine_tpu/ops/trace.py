@@ -441,10 +441,12 @@ def trace_brickmap_staged(
     ``iters >= 2 * max_steps``.  Default: ``((stage_iters, 1),
     (stage_iters * 2, tail_frac), (2 * max_steps + 8, tail_frac * 8))``.
 
-    If a stage's survivors exceed the next buffer (statistically rare when
-    stage lengths sit beyond the survivor percentiles), the overflow rays
-    keep their truncated result — mirroring the reference's ``maxSteps``
-    truncation at a lower cap.
+    Never truncates: if a stage's survivors exceed the next buffer
+    (possible when the schedule is scene-blind), the overflow rays are
+    finished by a full-width rescue pass guarded by ``lax.cond`` — it
+    costs nothing unless triggered, so results always equal
+    :func:`trace_brickmap` at the same ``max_steps`` budget (the
+    reference's only cap, ``VolumeRaytracer.cuh:235``).
     """
     n = jnp.asarray(origins).shape[0]
     if schedule is None:
@@ -457,6 +459,7 @@ def trace_brickmap_staged(
     st = _init_state(bm, origins, rays)
     st = _run_loop(bm, st, max_steps, schedule[0][0], fused)
     outs = _finalize(st, bm.factor)
+    st_full = st  # full-width resume state, kept current for the rescue
 
     idx = None  # current buffer position -> original ray index
     for iters, frac in schedule[1:]:
@@ -481,7 +484,23 @@ def trace_brickmap_staged(
             normal=merge(outs.normal, out_k.normal),
             steps=merge(outs.steps, out_k.steps),
         )
-    return outs
+        st_full = jax.tree.map(
+            lambda full, tail: merge(full, tail) if full.ndim >= 1 else tail,
+            st_full, st,
+        )
+
+    # overflow rescue: a ray still active at full width was dropped by a
+    # compaction buffer.  The cond's true branch (a full-width resume to
+    # the complete budget) runs only when that happens, so the scene-blind
+    # default schedule can never silently truncate stragglers.
+    return jax.lax.cond(
+        jnp.any(st_full.active),
+        lambda: _finalize(
+            _run_loop(bm, st_full, max_steps, 2 * max_steps + 8, fused),
+            bm.factor,
+        ),
+        lambda: outs,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "take_initial_step"))

@@ -37,7 +37,11 @@ from voxelengine_tpu.config import (
 )
 from voxelengine_tpu.core.brickmap import BrickMap
 from voxelengine_tpu.ops.noise import random_float
-from voxelengine_tpu.ops.pallas_bigtrace import LineTable, trace_brickmap_hbm
+from voxelengine_tpu.ops.pallas_bigtrace import (
+    LineTable,
+    trace_brickmap_hbm,
+    trace_brickmap_hbm_staged,
+)
 from voxelengine_tpu.ops.trace import TraceOut, trace_brickmap, trace_brickmap_staged
 from voxelengine_tpu.render import camera as cam
 from voxelengine_tpu.render.shading import calculate_color, reflect, tonemap
@@ -155,10 +159,18 @@ def shade_pixels(
     """
     W, H = cfg.width, cfg.height
     if lt is not None:
-        out = trace_brickmap_hbm(
-            bm, lt, origins, dirs, cfg.max_steps,
-            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-        )
+        if cfg.trace_stage_steps:
+            out = trace_brickmap_hbm_staged(
+                bm, lt, origins, dirs, cfg.max_steps,
+                stage_steps=cfg.trace_stage_steps,
+                tail_frac=cfg.trace_tail_frac,
+                tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            )
+        else:
+            out = trace_brickmap_hbm(
+                bm, lt, origins, dirs, cfg.max_steps,
+                tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            )
     elif cfg.staged_trace:
         out: TraceOut = trace_brickmap_staged(
             bm, origins, dirs, cfg.max_steps,
