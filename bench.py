@@ -56,6 +56,7 @@ def main():
     )
     from voxelengine_tpu.ops.trace import make_fused_table, trace_brickmap
     from voxelengine_tpu.render.frame import (
+        block_permutation_from_steps,
         make_framebuffer,
         primary_rays,
         render_frame,
@@ -101,26 +102,44 @@ def main():
     fb.block_until_ready()
     log(f"first frame (compile+run): {time.perf_counter()-t0:.1f}s")
 
+    # probe trace: provides (a) the honesty-check kernel result and (b) the
+    # temporal block-difficulty permutation for the timed loop (kernel ray
+    # tiles pair blocks of similar path length; scatter-exact reordering)
+    o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
+    perm = None
+    if backend == "pallas":
+        got = trace_brickmap_hbm(
+            bm, lt, o, d, cfg.max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+        )
+        # off by default: measured net-negative on the bench scene (sorted
+        # block order breaks screen-adjacency between consecutive kernel
+        # tiles, and the persistent line cache rides exactly that)
+        if cfg.tile_order and os.environ.get("BENCH_BLOCKSORT", "0") == "1":
+            perm = block_permutation_from_steps(got.steps, cfg)
+            t0 = time.perf_counter()
+            fb = render_frame(
+                bm, fb, origin, euler, env, jnp.int32(0), cfg, fused, lt, perm
+            )
+            fb.block_until_ready()
+            log(f"block-sorted frame compile: {time.perf_counter()-t0:.1f}s")
+
     # chained frame loop: frame k+1 consumes frame k's framebuffer, so all
     # frames must execute; a single final block avoids counting the
     # host<->device round-trip latency per frame (sustained throughput,
     # like a real render loop)
     t0 = time.perf_counter()
     for i in range(1, frames + 1):
-        fb = render_frame(bm, fb, origin, euler, env, jnp.int32(i), cfg, fused, lt)
+        fb = render_frame(
+            bm, fb, origin, euler, env, jnp.int32(i), cfg, fused, lt, perm
+        )
     fb.block_until_ready()
     frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
     mrays = rays_per_frame / frame_ms / 1000.0
 
     # honesty check: the production traversal must reproduce the plain
     # full-budget XLA traversal's hits on a full frame of rays
-    o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
-    if backend == "pallas":
-        got = trace_brickmap_hbm(
-            bm, lt, o, d, cfg.max_steps,
-            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-        )
-    else:
+    if backend != "pallas":
         from voxelengine_tpu.ops.trace import trace_brickmap_staged
 
         got = trace_brickmap_staged(

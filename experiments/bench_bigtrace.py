@@ -67,6 +67,21 @@ def main():
 
     from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_staged
 
+    if "--blocksort" in sys.argv:
+        # temporal block-difficulty pairing: reorder pixel blocks by a probe
+        # trace's per-block max steps (what bench.py does across frames)
+        from voxelengine_tpu.render.frame import (
+            block_geometry,
+            block_permutation_from_steps,
+        )
+
+        probe = trace_brickmap_hbm(bm, lt, o, d, 2048, tile=2048, num_slots=8)
+        bw, bh, nb = block_geometry(cfg)
+        perm = np.asarray(block_permutation_from_steps(probe.steps, cfg))
+        o = jnp.asarray(np.asarray(o).reshape(nb, bw * bh, 3)[perm].reshape(-1, 3))
+        d = jnp.asarray(np.asarray(d).reshape(nb, bw * bh, 3)[perm].reshape(-1, 3))
+        print(f"blocksort: {nb} blocks of {bw}x{bh}", flush=True)
+
     import os
     sweep = os.environ.get("SWEEP", "1024,16,8,4")
     for part in sweep.split():

@@ -181,6 +181,7 @@ def test_apply_edits_hbm_incremental(rng):
     assert np.array_equal(np.asarray(bm_ref.bricks), np.asarray(bm2.bricks))
     assert np.array_equal(np.asarray(lt_ref.lines), np.asarray(lt2.lines))
     assert np.array_equal(np.asarray(lt_ref.macro), np.asarray(lt2.macro))
+    assert np.array_equal(np.asarray(lt_ref.macro2), np.asarray(lt2.macro2))
 
     origins, rays = _rays(rng, 256, bm2.world_dims)
     ref = trace_brickmap(bm2, origins, rays, 256)
@@ -219,3 +220,57 @@ def test_bigtrace_staged_overflow_rescued(rng):
         stage_steps=4, tail_frac=2048, tile=256, num_slots=4,
     )
     _assert_match(out, ref, atol=1e-5)
+
+
+def _world_l2(rng):
+    """256x64x256/f4 world (8x2x8 regions, 2x1x2 super-regions) with empty
+    super-regions, so the L2 macro skip actually fires."""
+    dense = np.zeros((256, 64, 256), bool)  # (z, y, x)
+    dense[:128, :3, :128] = rng.random((128, 3, 128)) < 0.3  # quarter floor
+    dense[200:216, :40, 200:216] = True  # isolated tower
+    return build_brickmap(
+        BitGrid.from_dense(dense), 4, coarse_layout=Layout.LINEAR
+    )
+
+
+def test_bigtrace_l2_macro_matches_xla(rng):
+    """Two-level macro skip (super-region spans) stays exact vs the plain
+    XLA trace, including the charged step counts."""
+    bm = _world_l2(rng)
+    lt = make_line_table(bm)
+    # L2 was built from occupancy (not the all-occupied fallback) and has
+    # at least one empty super-region to skip across
+    m2 = np.asarray(lt.macro2)
+    assert (m2 != -1).all() and (m2[0] & 0b1111) != 0b1111
+    origins, rays = _rays(rng, 384, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 512)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 512, tile=384, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref, atol=1e-5)
+
+
+def test_apply_edits_hbm_macro2_refresh(rng):
+    """Edits that fill / clear super-regions refresh macro2 exactly like a
+    full table rebuild."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.core.brickmap import apply_edits
+    from voxelengine_tpu.ops.pallas_bigtrace import apply_edits_hbm
+
+    bm = _world_l2(rng)
+    lt = make_line_table(bm)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+
+    # set voxels inside an empty super-region AND clear the whole tower
+    xs = np.concatenate([[40], np.repeat(np.arange(200, 216), 16)])
+    ys = np.concatenate([[40], np.zeros(256, np.int64)])
+    zs = np.concatenate([[200], np.tile(np.arange(200, 216), 16)])
+    # clear the tower's only occupied y-plane voxels in one chunk column
+    vals = np.concatenate([[True], np.zeros(256, bool)])
+    bm_ref = apply_edits(copy(bm), xs, ys, zs, vals)
+    lt_ref = make_line_table(bm_ref)
+    bm2, lt2 = apply_edits_hbm(copy(bm), copy(lt), xs, ys, zs, vals)
+    assert np.array_equal(np.asarray(lt_ref.macro), np.asarray(lt2.macro))
+    assert np.array_equal(np.asarray(lt_ref.macro2), np.asarray(lt2.macro2))

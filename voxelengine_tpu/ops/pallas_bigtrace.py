@@ -60,6 +60,7 @@ F32 = jnp.float32
 I32 = jnp.int32
 BIG = 3.4e38
 NOLINE = 0x7FFFFFFF  # "no line wanted" sentinel (python int: kernels must not capture tracers)
+MACRO2_WORDS = 8  # L2 macro capacity: 256 super-regions (broadcast-select)
 
 
 @jax.tree_util.register_dataclass
@@ -69,6 +70,10 @@ class LineTable:
 
     lines: jax.Array  # i32[(NR + NBL) * 8, 128]
     macro: jax.Array  # i32[8, 128] packed region-occupancy bits
+    # L2 macro: occupancy of 4x4x4-region groups ("super-regions", 32^3
+    # chunks), packed into <= MACRO2_WORDS words so the kernel can fetch it
+    # with a broadcast-select chain instead of a gather
+    macro2: jax.Array  # i32[MACRO2_WORDS] (SMEM scalars in the kernel)
     num_regions: int = dataclasses.field(metadata=dict(static=True))
     region_dims: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
@@ -120,9 +125,35 @@ def make_line_table(bm: BrickMap) -> LineTable:
     ).astype(I32)
     macro = macro_words.reshape(8, 128)
 
+    # L2: super-region (4x4x4 regions = 32^3 chunks) occupancy.  Only built
+    # when it fits the broadcast-select budget; all-occupied otherwise
+    # (the kernel then never L2-skips, which is always correct).
+    srx, sry, srz = -(-rx // 4), -(-ry // 4), -(-rz // 4)
+    nsr = srx * sry * srz
+    if nsr <= MACRO2_WORDS * 32:
+        occ_grid = occ_r.reshape(rz, ry, rx)
+        occ_grid = jnp.pad(
+            occ_grid,
+            ((0, srz * 4 - rz), (0, sry * 4 - ry), (0, srx * 4 - rx)),
+        )
+        occ_sr = jnp.any(
+            occ_grid.reshape(srz, 4, sry, 4, srx, 4).transpose(0, 2, 4, 1, 3, 5)
+            .reshape(nsr, 64),
+            axis=1,
+        )
+        occ_sr = jnp.concatenate(
+            [occ_sr, jnp.zeros((MACRO2_WORDS * 32 - nsr,), jnp.bool_)]
+        ).reshape(MACRO2_WORDS, 32)
+        macro2 = jnp.sum(
+            jnp.where(occ_sr, jnp.int32(1) << shifts[None, :], 0), axis=1
+        ).astype(I32)
+    else:
+        macro2 = jnp.full((MACRO2_WORDS,), -1, I32)  # all occupied
+
     return LineTable(
         lines=lines,
         macro=macro,
+        macro2=macro2,
         num_regions=nr,
         region_dims=(rx, ry, rz),
     )
@@ -197,7 +228,41 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
         return m.at[w].set(jax.lax.bitcast_convert_type(nxt, jnp.int32))
 
     macro_flat = jax.lax.fori_loop(0, ci.shape[0], body, macro_flat)
-    lt2 = dataclasses.replace(lt, lines=lines, macro=macro_flat.reshape(8, 128))
+
+    # L2 refresh: recompute each touched super-region's bit from the
+    # updated L1 macro words (skipped when L2 is the all-occupied fallback)
+    macro2 = lt.macro2
+    srx, sry, srz = -(-rx // 4), -(-ry // 4), -(-rz // 4)
+    if srx * sry * srz <= MACRO2_WORDS * 32:
+        srgx, srgy, srgz = cx >> 5, cy >> 5, cz >> 5
+        sreg = srgx + srx * (srgy + sry * srgz)
+        d4x = jnp.arange(4)[:, None, None]
+        d4y = jnp.arange(4)[None, :, None]
+        d4z = jnp.arange(4)[None, None, :]
+
+        def body2(i, m2):
+            rgx_c = srgx[i] * 4 + d4x
+            rgy_c = srgy[i] * 4 + d4y
+            rgz_c = srgz[i] * 4 + d4z
+            valid = (rgx_c < rx) & (rgy_c < ry) & (rgz_c < rz)
+            rid = (
+                jnp.minimum(rgx_c, rx - 1)
+                + rx * (jnp.minimum(rgy_c, ry - 1) + ry * jnp.minimum(rgz_c, rz - 1))
+            )
+            bits = (macro_flat[rid >> 5] >> (rid & 31)) & 1
+            occ = jnp.any((bits == 1) & valid)
+            w = sreg[i] >> 5
+            b = (sreg[i] & 31).astype(jnp.uint32)
+            cur = jax.lax.bitcast_convert_type(m2[w], jnp.uint32)
+            bit = (jnp.uint32(1) << b).astype(jnp.uint32)
+            nxt = jnp.where(occ, cur | bit, cur & ~bit)
+            return m2.at[w].set(jax.lax.bitcast_convert_type(nxt, jnp.int32))
+
+        macro2 = jax.lax.fori_loop(0, ci.shape[0], body2, macro2)
+
+    lt2 = dataclasses.replace(
+        lt, lines=lines, macro=macro_flat.reshape(8, 128), macro2=macro2
+    )
     return bm2, lt2
 
 
@@ -333,6 +398,7 @@ def _fetch_static(line, row, lane):
 
 def _bigtrace_kernel(
     macro_ref,
+    macro2_ref,
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     act_ref, padx_ref, pady_ref, padz_ref,
@@ -355,6 +421,7 @@ def _bigtrace_kernel(
 ):
     GX, GY, GZ = grid_dims
     RX, RY, RZ = region_dims
+    SRX, SRY = -(-RX // 4), -(-RY // 4)
     f = factor
     S = num_slots
     R = ox_ref.shape[0]  # sublane rows; rays = R * 128
@@ -438,24 +505,29 @@ def _bigtrace_kernel(
             mbit = region & 31
             mword = _fetch_static(macro, mw >> 7, mw & 127)
             region_occ = ((mword >> mbit) & 1) == 1
+            # L2: super-region occupancy via a broadcast-select chain over
+            # <= MACRO2_WORDS scalar words (no gather)
+            sregion = (rgx >> 2) + SRX * ((rgy >> 2) + SRY * (rgz >> 2))
+            mw2 = sregion >> 5
+            sword = jnp.zeros((R, 128), I32)
+            for k in range(MACRO2_WORDS):
+                sword = jnp.where(mw2 == k, macro2_ref[k], sword)
+            sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
         else:
             region_occ = jnp.ones((R, 128), jnp.bool_)
+            sregion_occ = jnp.ones((R, 128), jnp.bool_)
         macro_skip = coarse_phase & in_range_c & ~region_occ
+        skip2 = macro_skip & ~sregion_occ  # wider L2 span (32 chunks)
 
         # ---- per-ray wanted line + cache residency ----
         meta_lane = local & 127
         meta_row = local >> 7  # 0..3; slot words at +4
-        w_glob = jnp.where(fine_phase, bslot * wpb, 0) + (
-            jnp.where(
-                fine_phase,
-                brick_bit(
-                    jnp.clip(fcx, 0, f - 1),
-                    jnp.clip(fcy, 0, f - 1),
-                    jnp.clip(fcz, 0, f - 1),
-                ) >> 5,
-                0,
-            )
-        )
+        bit = brick_bit(
+            jnp.clip(fcx, 0, f - 1),
+            jnp.clip(fcy, 0, f - 1),
+            jnp.clip(fcz, 0, f - 1),
+        )  # also the fine occupancy bit below
+        w_glob = jnp.where(fine_phase, bslot * wpb + (bit >> 5), 0)
         want_new = jnp.where(
             fine_phase,
             NR + (w_glob >> 10),
@@ -479,16 +551,17 @@ def _bigtrace_kernel(
         served = resident & (want_new != NOLINE)
         word = _fetch_pass(cache, cslot, row, lane, S)
 
+        in_range_f = (
+            (fcx >= 0) & (fcx < f + fpadx)
+            & (fcy >= 0) & (fcy < f + fpady)
+            & (fcz >= 0) & (fcz < f + fpadz)
+        )
         # rays that need a line they don't have stall this step
         runnable = active & (
             macro_skip
             | served
             | (coarse_phase & ~in_range_c)  # world-miss needs no fetch
-            | (fine_phase & ~(
-                (fcx >= 0) & (fcx < f + fpadx)
-                & (fcy >= 0) & (fcy < f + fpady)
-                & (fcz >= 0) & (fcz < f + fpadz)
-            ))  # fine out-of-range ascends without a fetch
+            | (fine_phase & ~in_range_f)  # fine out-of-range ascends fetchless
         )
 
         # ================= coarse: meta test =================
@@ -550,14 +623,6 @@ def _bigtrace_kernel(
         fpadz_new = jnp.where(on_edge_f & (dz < 0.0), 1, 0)
 
         # ================= fine level =================
-        in_range_f = (
-            (fcx >= 0) & (fcx < f + fpadx)
-            & (fcy >= 0) & (fcy < f + fpady)
-            & (fcz >= 0) & (fcz < f + fpadz)
-        )
-        bit = brick_bit(
-            jnp.clip(fcx, 0, f - 1), jnp.clip(fcy, 0, f - 1), jnp.clip(fcz, 0, f - 1)
-        )
         occ_f = (((word >> (bit & 31)) & 1) == 1)
 
         fine_hit = runnable & fine_phase & in_range_f & occ_f
@@ -580,12 +645,25 @@ def _bigtrace_kernel(
         cax, cay, caz = _axis_pick3(ctx, cty, ctz)
         ctc = jnp.where(cax, ctx, jnp.where(cay, cty, ctz))
 
-        # macro skip: step the *region* DDA, re-seed the coarse DDA at the
-        # region exit, charge the exact L1 chunk distance to the budget
+        # macro skip: step the region (or, when the whole super-region is
+        # empty, the 4x smaller super-region grid) DDA, re-seed the coarse
+        # DDA at the exit, charge the exact L1 chunk distance to the budget
         if use_macro:
-            nbx = (rgx + (stx > 0)).astype(F32) * 8.0
-            nby = (rgy + (sty > 0)).astype(F32) * 8.0
-            nbz = (rgz + (stz > 0)).astype(F32) * 8.0
+            # skip-span corner / size in chunk units (8 or 32), computed
+            # from the CLAMPED cell and clamped to the grid: the exit face
+            # of a span that sticks out of the grid must be the grid face,
+            # or the charged distance would overshoot where the plain walk
+            # exits (e.g. a 32-chunk L2 span on a 16-chunk-tall grid)
+            lox = jnp.where(skip2, (clx >> 5) << 5, rgx << 3)
+            loy = jnp.where(skip2, (cly >> 5) << 5, rgy << 3)
+            loz = jnp.where(skip2, (clz >> 5) << 5, rgz << 3)
+            span = jnp.where(skip2, 32, 8)
+            hix = jnp.minimum(lox + span, GX)
+            hiy = jnp.minimum(loy + span, GY)
+            hiz = jnp.minimum(loz + span, GZ)
+            nbx = jnp.where(stx > 0, hix, lox).astype(F32)
+            nby = jnp.where(sty > 0, hiy, loy).astype(F32)
+            nbz = jnp.where(stz > 0, hiz, loz).astype(F32)
             rtx = jnp.where(dx != 0.0, (nbx - sx) / dx, BIG)
             rty = jnp.where(dy != 0.0, (nby - sy) / dy, BIG)
             rtz = jnp.where(dz != 0.0, (nbz - sz) / dz, BIG)
@@ -594,22 +672,22 @@ def _bigtrace_kernel(
             mx = sx + rt1 * dx
             my = sy + rt1 * dy
             mz = sz + rt1 * dz
-            # stepped axis: exactly the first cell across the region face;
-            # others: floor, clamped into the current region (FP guard)
+            # stepped axis: exactly the first cell across the span face;
+            # others: floor, clamped into the current span (FP guard)
             skx = jnp.where(
                 rax,
-                jnp.where(stx > 0, (rgx + 1) * 8, rgx * 8 - 1),
-                jnp.clip(mx.astype(I32) - (mx < 0.0), rgx * 8, rgx * 8 + 7),
+                jnp.where(stx > 0, hix, lox - 1),
+                jnp.clip(mx.astype(I32) - (mx < 0.0), lox, hix - 1),
             )
             sky = jnp.where(
                 ray_,
-                jnp.where(sty > 0, (rgy + 1) * 8, rgy * 8 - 1),
-                jnp.clip(my.astype(I32) - (my < 0.0), rgy * 8, rgy * 8 + 7),
+                jnp.where(sty > 0, hiy, loy - 1),
+                jnp.clip(my.astype(I32) - (my < 0.0), loy, hiy - 1),
             )
             skz = jnp.where(
                 raz,
-                jnp.where(stz > 0, (rgz + 1) * 8, rgz * 8 - 1),
-                jnp.clip(mz.astype(I32) - (mz < 0.0), rgz * 8, rgz * 8 + 7),
+                jnp.where(stz > 0, hiz, loz - 1),
+                jnp.clip(mz.astype(I32) - (mz < 0.0), loz, hiz - 1),
             )
             skip_l1 = (
                 jnp.abs(skx - ccx) + jnp.abs(sky - ccy) + jnp.abs(skz - ccz)
@@ -882,6 +960,7 @@ def trace_brickmap_hbm(
     )
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 10
         + [pl.BlockSpec(memory_space=pl.ANY)]
     )
@@ -915,7 +994,7 @@ def trace_brickmap_hbm(
             pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
         ],
         interpret=interpret,
-    )(lt.macro, *ins, lt.lines)
+    )(lt.macro, lt.macro2, *ins, lt.lines)
 
     flags = outs[0].reshape(-1)[:n]
     hit = (flags & 1) == 1

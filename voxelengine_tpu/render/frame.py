@@ -55,34 +55,62 @@ def make_framebuffer(cfg: RenderConfig) -> jax.Array:
     return jnp.zeros((cfg.height, cfg.width, 3), F32)
 
 
-def primary_rays(cfg: RenderConfig, origin, euler, frame_number):
+def _block_side(n):
+    # largest divisor of n that is <= 32 (1080p checkerboard: 540 -> 30)
+    for b in range(32, 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def block_geometry(cfg: RenderConfig):
+    """(block_w, block_h, num_blocks) of the tile-order pixel blocking."""
+    rows = cfg.height // 2 if cfg.checkerboard else cfg.height
+    bw, bh = _block_side(cfg.width), _block_side(rows)
+    return bw, bh, (cfg.width // bw) * (rows // bh)
+
+
+def block_permutation_from_steps(steps, cfg: RenderConfig):
+    """Difficulty-sort permutation of pixel blocks from a previous frame's
+    per-ray step counts (taken in tile_order).
+
+    Kernel ray tiles run until their slowest ray finishes; grouping blocks
+    of similar path length means a tile of easy blocks is never chained to
+    a horizon straggler block (lockstep waste drops toward the block-level
+    bound).  Purely a performance reordering — results are scatter-exact
+    regardless of ray order.  Temporal: frame N's steps sort frame N+1.
+    """
+    bw, bh, nb = block_geometry(cfg)
+    cost = steps.reshape(nb, bw * bh).max(axis=1)
+    return jnp.argsort(-cost)
+
+
+def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None):
     """Build the frame's primary rays.
 
     Returns (origins [N,3], dirs [N,3], px [N], py [N]) where (px, py) are
     final framebuffer coordinates (checkerboard-remapped; py may equal H for
-    dropped rows, ``Renderer.cu:186-196``).
+    dropped rows, ``Renderer.cu:186-196``).  ``block_perm`` (optional, only
+    with ``tile_order``): emit the pixel blocks in this order (see
+    :func:`block_permutation_from_steps`).
     """
     W, H = cfg.width, cfg.height
     rows = H // 2 if cfg.checkerboard else H
     xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
-    def _block_side(n):
-        # largest divisor of n that is <= 32 (1080p checkerboard: 540 -> 27)
-        for b in range(32, 0, -1):
-            if n % b == 0:
-                return b
-        return 1
-
     bw, bh = _block_side(W), _block_side(rows)
     if cfg.tile_order and bw * bh > 1:
         # order rays as ~32x32 pixel blocks: the coherent-tile layout the
         # Pallas traversal wants (neighbouring rays share cache lines);
         # px/py travel with the rays, so the final scatter needs no inverse
         def blocked(a):
-            return (
+            a = (
                 a.reshape(rows // bh, bh, W // bw, bw)
                 .transpose(0, 2, 1, 3)
                 .reshape(-1)
             )
+            if block_perm is not None:
+                a = a.reshape(-1, bh * bw)[block_perm].reshape(-1)
+            return a
         px = blocked(xg)
         py_r = blocked(yg)
     else:
@@ -281,16 +309,22 @@ def render_frame(
     cfg: RenderConfig,
     fused=None,
     lt: Optional[LineTable] = None,
+    block_perm=None,
 ) -> jax.Array:
     """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
 
     The full fused path of ``RenderScreen`` -> ``screenDispatch``
     (``Renderer.cu:305-328,179-276``).  ``frame_number`` is a traced scalar
     so checkerboard parity doesn't recompile.  ``lt`` selects the Pallas
-    HBM-line-table traversal (see :func:`shade_pixels`).
+    HBM-line-table traversal (see :func:`shade_pixels`); ``block_perm``
+    optionally reorders the pixel blocks for tile-difficulty pairing
+    (:func:`block_permutation_from_steps`) — output is scatter-exact
+    regardless.
     """
     H = cfg.height
-    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    origins, dirs, px, py, py_r = primary_rays(
+        cfg, origin, euler, frame_number, block_perm
+    )
     color, write = shade_pixels(
         bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused, lt
     )
