@@ -201,16 +201,18 @@ def render_frame_zsharded(
     (shadow rays, AO) would need further distributed trace rounds and is
     not supported on this path.
     """
-    from voxelengine_tpu.render.frame import primary_rays, shade_traced
+    from voxelengine_tpu.render.frame import (
+        composite_frame,
+        primary_rays,
+        shade_traced,
+    )
 
     assert not cfg.shadow_rays and cfg.ao_samples == 0, (
         "zsharded render: secondary-trace shading unsupported"
     )
-    H = cfg.height
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
     color, write = shade_traced(
         None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
     )
-    py_w = jnp.where(write & (py < H), py, H)
-    return framebuffer.at[py_w, px].set(color, mode="drop")
+    return composite_frame(framebuffer, color, write, cfg, frame_number)

@@ -85,6 +85,69 @@ def block_permutation_from_steps(steps, cfg: RenderConfig):
     return jnp.argsort(-cost)
 
 
+def _unblock(a, cfg: RenderConfig, block_perm=None):
+    """Invert the tile_order ray layout back to a [rows, W, ...] image.
+
+    Pure reshape/transpose (+ a block-granular take when ``block_perm``
+    reordered the stream) — never a scatter, which lowers to the scalar
+    core on TPU (measured 44.7 ms/frame at 1080p for the naive
+    ``fb.at[py, px].set``; this path is ~10x cheaper).
+    """
+    W = cfg.width
+    rows = cfg.height // 2 if cfg.checkerboard else cfg.height
+    rest = a.shape[1:]
+    bw, bh = _block_side(W), _block_side(rows)
+    if cfg.tile_order and bw * bh > 1:
+        if block_perm is not None:
+            a = jnp.take(
+                a.reshape(-1, bh * bw, *rest), jnp.argsort(block_perm), axis=0
+            )
+        a = a.reshape(rows // bh, W // bw, bh, bw, *rest)
+        a = a.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+    return a.reshape(rows, W, *rest)
+
+
+def composite_frame(
+    framebuffer, color, write, cfg: RenderConfig, frame_number, block_perm=None
+):
+    """Write a frame's shaded pixel stream into the persistent framebuffer.
+
+    Implements the checkerboard row interleave ``y = 2*y' + (x even) +
+    (frame even)`` (``Renderer.cu:186-196``) — including the dropped
+    overflow row — entirely with static layout ops and masked selects.
+    """
+    H, W = cfg.height, cfg.width
+    h = _unblock(color, cfg, block_perm)  # [rows, W, 3]
+    w = _unblock(write, cfg, block_perm)  # [rows, W] bool
+    if not cfg.checkerboard:
+        return jnp.where(w[..., None], h, framebuffer)
+    if H % 2:  # odd-height checkerboard: rare; keep the scatter form
+        py_r = jnp.arange(H // 2)[:, None]
+        px = jnp.arange(W)[None, :]
+        py = py_r * 2 + jnp.where(px % 2 == 0, 1, 0) + jnp.where(
+            frame_number % 2 == 0, 1, 0
+        )
+        py_w = jnp.where(w & (py < H), py, H)
+        return framebuffer.at[py_w, jnp.broadcast_to(px, py.shape)].set(
+            h, mode="drop"
+        )
+    # checkerboard: rows' target y = 2*y' + off, off = (x even)+(frame even)
+    ce = (jnp.arange(W) % 2 == 0)[None, :]  # column parity
+    q = frame_number % 2 == 0
+    # off == 2 shifts even columns down one row pair; its first row has no
+    # source and its last source row falls off the frame (reference drop)
+    h2 = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    w2 = jnp.concatenate([jnp.zeros_like(w[:1]), w[:-1]], axis=0)
+    src0 = jnp.where(q, h2, h)  # even target rows
+    m0 = jnp.where(q, ce & w2, (~ce) & w)
+    src1 = h  # odd target rows
+    m1 = w & jnp.where(q, ~ce, ce)
+    pairs = framebuffer.reshape(H // 2, 2, W, 3)
+    p0 = jnp.where(m0[..., None], src0, pairs[:, 0])
+    p1 = jnp.where(m1[..., None], src1, pairs[:, 1])
+    return jnp.stack([p0, p1], axis=1).reshape(H, W, 3)
+
+
 def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None):
     """Build the frame's primary rays.
 
@@ -321,16 +384,13 @@ def render_frame(
     (:func:`block_permutation_from_steps`) — output is scatter-exact
     regardless.
     """
-    H = cfg.height
     origins, dirs, px, py, py_r = primary_rays(
         cfg, origin, euler, frame_number, block_perm
     )
     color, write = shade_pixels(
         bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused, lt
     )
-    # drop out-of-range rows and masked pixels (scatter mode="drop")
-    py_w = jnp.where(write & (py < H), py, H)
-    return framebuffer.at[py_w, px].set(color, mode="drop")
+    return composite_frame(framebuffer, color, write, cfg, frame_number, block_perm)
 
 
 def to_bgra8(fb: jax.Array) -> jax.Array:
@@ -360,11 +420,9 @@ def render_frame_dense(
     Shadow/AO secondary rays are not supported on this path."""
     from voxelengine_tpu.ops.pallas_trace import trace_grid_mxu
 
-    H = cfg.height
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     out = trace_grid_mxu(grid, origins, dirs, cfg.max_steps, interpret=interpret)
     color, write = shade_traced(
         None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
     )
-    py_w = jnp.where(write & (py < H), py, H)
-    return framebuffer.at[py_w, px].set(color, mode="drop")
+    return composite_frame(framebuffer, color, write, cfg, frame_number)
