@@ -64,7 +64,9 @@ def main():
     ap.add_argument("--frames", type=int, default=240, help="scripted frame count")
     ap.add_argument("--debug-view", action="store_true")
     ap.add_argument("--outdir", default="frames")
-    ap.add_argument("--record", action="store_true", help="save numbered PPMs")
+    ap.add_argument("--record", action="store_true", help="save numbered frames")
+    ap.add_argument("--png", action="store_true",
+                    help="write PNGs instead of PPMs (native encoder)")
     ap.add_argument("--dense", action="store_true",
                     help="dense-grid world on the fused MXU kernel (worlds <= ~160^3; realtime)")
     ap.add_argument("--ortho", action="store_true",
@@ -96,8 +98,8 @@ def main():
     env = Environment.default()  # main.cu:58-63
 
     renderer = Renderer("voxelengine_tpu")
-    renderer.init(args.width, args.height, 1.0, outdir=args.outdir,
-                  mode=3 if args.record else 2)
+    mode = (4 | 8 if args.png else 1 | 2) if args.record else (8 if args.png else 2)
+    renderer.init(args.width, args.height, 1.0, outdir=args.outdir, mode=mode)
 
     cam_pos = np.array([256.0, 256.0, 256.0], np.float32)  # main.cu:52
     euler = np.array([0.3, 0.8, 0.0], np.float32)

@@ -62,3 +62,22 @@ def test_trace_stats():
     s.record(1_000_000, 10.0, 5_000_000)
     assert np.isclose(s.mrays_per_s, 100.0)
     assert np.isclose(s.avg_steps, 5.0)
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_png_sink_roundtrip(tmp_path, force_python):
+    """Both PNG encoders (native stored-deflate writer, Python zlib
+    fallback) produce files that decode back to the exact pixels."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(3)
+    bgra = rng.integers(0, 256, (48, 64, 4), np.uint8)
+    r = Renderer("t")
+    r.init(64, 48, outdir=str(tmp_path), mode=4 | 8,
+           force_python_sink=force_python)
+    r._pixels[:] = bgra
+    r.render()
+    r.close()
+    assert r.frames_presented == 1
+    img = np.asarray(PIL.open(tmp_path / "latest.png"))
+    assert np.array_equal(img, bgra[..., [2, 1, 0]])
+    assert (tmp_path / "frame_000000.png").exists()

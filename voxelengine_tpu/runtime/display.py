@@ -32,25 +32,55 @@ class CallbackData:
     pixels: np.ndarray  # uint8 [H, W, 4] BGRA
 
 
+def _encode_png(rgb: np.ndarray) -> bytes:
+    """RGB uint8 [H, W, 3] -> PNG bytes (stdlib zlib; no imaging deps)."""
+    import struct
+    import zlib
+
+    h, w = rgb.shape[:2]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 class _PySink:
-    """Fallback synchronous PPM writer."""
+    """Fallback synchronous PPM/PNG writer."""
 
     def __init__(self, width, height, mode, outdir):
         self.w, self.h, self.mode, self.dir = width, height, mode, outdir
         self.frames_written = 0
 
+    def _atomic(self, name, data):
+        tmp = os.path.join(self.dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(self.dir, name))
+
     def submit(self, bgra: np.ndarray):
         rgb = bgra[..., [2, 1, 0]]
         header = f"P6\n{self.w} {self.h}\n255\n".encode()
+        n = self.frames_written
         if self.mode & 1:
-            path = os.path.join(self.dir, f"frame_{self.frames_written:06d}.ppm")
-            with open(path, "wb") as f:
-                f.write(header + rgb.tobytes())
+            self._atomic(f"frame_{n:06d}.ppm", header + rgb.tobytes())
         if self.mode & 2:
-            tmp = os.path.join(self.dir, "latest.ppm.tmp")
-            with open(tmp, "wb") as f:
-                f.write(header + rgb.tobytes())
-            os.replace(tmp, os.path.join(self.dir, "latest.ppm"))
+            self._atomic("latest.ppm", header + rgb.tobytes())
+        if self.mode & 4:
+            self._atomic(f"frame_{n:06d}.png", _encode_png(rgb))
+        if self.mode & 8:
+            self._atomic("latest.png", _encode_png(rgb))
         self.frames_written += 1
 
     def close(self):
@@ -100,8 +130,9 @@ class Renderer:
     ) -> bool:
         """Create the output surface (``SDLRenderer.cpp:12-46``).  ``scale``
         is accepted for API parity (nearest-neighbour upscaling is the
-        viewer's job here).  ``mode``: 1 = numbered PPM sequence,
-        2 = live latest.ppm, 3 = both."""
+        viewer's job here).  ``mode`` bitmask: 1 = numbered PPM sequence,
+        2 = live latest.ppm, 4 = numbered PNG sequence, 8 = live
+        latest.png (PNGs via the dependency-free native encoder)."""
         self.width, self.height = int(width), int(height)
         os.makedirs(outdir, exist_ok=True)
         lib = None if force_python_sink else framesink_lib()
