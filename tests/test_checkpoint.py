@@ -31,3 +31,21 @@ def test_generate_or_load_caches(tmp_path, small_world):
     b = generate_or_load(str(tmp_path), "k", gen)
     assert len(calls) == 1
     assert np.array_equal(np.asarray(a.meta), np.asarray(b.meta))
+
+
+def test_orbax_roundtrip(tmp_path, small_world):
+    """orbax backend round-trips a world identically to the npz path."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from voxelengine_tpu.io.checkpoint import load_world_orbax, save_world_orbax
+
+    _, _, bm = small_world
+    save_world_orbax(str(tmp_path / "ckpt"), bm)
+    bm2 = load_world_orbax(str(tmp_path / "ckpt"))
+    assert np.array_equal(np.asarray(bm.meta), np.asarray(bm2.meta))
+    assert np.array_equal(np.asarray(bm.bricks), np.asarray(bm2.bricks))
+    assert np.array_equal(np.asarray(bm.brick_idx), np.asarray(bm2.brick_idx))
+    assert bm2.grid_dims == bm.grid_dims and bm2.factor == bm.factor
+    assert bm2.coarse_layout is bm.coarse_layout
+    assert bm2.brick_layout is bm.brick_layout and bm2.dense_slots == bm.dense_slots

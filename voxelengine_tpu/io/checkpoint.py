@@ -69,3 +69,50 @@ def generate_or_load(
     bm = generate_fn()
     save_world(path, bm)
     return bm
+
+
+def _bm_meta(bm: BrickMap) -> dict:
+    return dict(
+        version=FORMAT_VERSION,
+        grid_dims=list(bm.grid_dims),
+        factor=bm.factor,
+        coarse_layout=bm.coarse_layout.value,
+        brick_layout=bm.brick_layout.value,
+        dense_slots=bm.dense_slots,
+    )
+
+
+def save_world_orbax(path: str, bm: BrickMap) -> None:
+    """Serialize a world through orbax-checkpoint (the idiomatic JAX
+    checkpoint stack: async-capable, atomic, sharding-aware — the right
+    backend once worlds are sharded across a mesh).  ``path`` becomes a
+    checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = dict(
+        meta=bm.meta, brick_idx=bm.brick_idx, bricks=bm.bricks,
+        _meta=_bm_meta(bm),
+    )
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_world_orbax(path: str) -> BrickMap:
+    """Load a world saved by :func:`save_world_orbax`."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    m = state["_meta"]
+    assert int(m["version"]) == FORMAT_VERSION, "unknown world format"
+    return BrickMap(
+        meta=jnp.asarray(state["meta"]),
+        brick_idx=jnp.asarray(state["brick_idx"]),
+        bricks=jnp.asarray(state["bricks"]),
+        grid_dims=tuple(int(v) for v in m["grid_dims"]),
+        factor=int(m["factor"]),
+        coarse_layout=Layout(int(m["coarse_layout"])),
+        brick_layout=Layout(int(m["brick_layout"])),
+        dense_slots=bool(m["dense_slots"]),
+    )
