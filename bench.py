@@ -102,9 +102,10 @@ def main():
     if backend == "pallas":
         t0 = time.perf_counter()
         lt = make_line_table(bm)
-        lt.lines.block_until_ready()
+        lt.region_lines.block_until_ready()
         log(f"line table: {time.perf_counter()-t0:.1f}s; "
-            f"{lt.lines.nbytes/1e9:.2f} GB, {lt.num_regions} regions")
+            f"{lt.region_lines.nbytes/1e6:.1f} MB side tables "
+            f"(brick lines are a zero-copy view), {lt.num_regions} regions")
     else:
         fused = make_fused_table(bm)
 
@@ -159,8 +160,8 @@ def main():
             stage_iters=cfg.stage_iters, tail_frac=cfg.tail_frac, fused=fused,
             schedule=cfg.stage_schedule,
         )
-    if fused is None:
-        fused = make_fused_table(bm)
+    # fused=None on the pallas path: the verify pass gathers meta and brick
+    # words separately rather than allocating a second O(world) table
     ref = trace_brickmap(bm, o, d, cfg.max_steps, fused=fused)
     diffs = int((np.asarray(ref.hit) != np.asarray(got.hit)).sum())
     steps = np.asarray(got.steps)

@@ -46,16 +46,26 @@ def main():
     dims = WORLDS[world]
     print(f"devices: {jax.devices()}  world {dims} octaves {octaves}", flush=True)
 
+    import os as _os
+
     t0 = time.perf_counter()
-    bm = build_brickmap_terrain_compact(dims, 32, octaves=octaves)
+    if _os.environ.get("WORLD_CACHE", "0") == "1":
+        from voxelengine_tpu.io.checkpoint import generate_or_load
+
+        key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o{octaves}_v1"
+        bm = generate_or_load(
+            ".world_cache", key,
+            lambda: build_brickmap_terrain_compact(dims, 32, octaves=octaves),
+        )
+    else:
+        bm = build_brickmap_terrain_compact(dims, 32, octaves=octaves)
     bm.meta.block_until_ready()
     print(f"build: {time.perf_counter()-t0:.1f}s  bricks {bm.bricks.shape} "
           f"({bm.bricks.nbytes/1e6:.0f} MB)", flush=True)
     t0 = time.perf_counter()
     lt = make_line_table(bm)
-    lt.lines.block_until_ready()
-    print(f"line table: {time.perf_counter()-t0:.1f}s  lines {lt.lines.shape} "
-          f"({lt.lines.nbytes/1e6:.0f} MB)  regions {lt.num_regions}", flush=True)
+    lt.region_lines.block_until_ready()
+    print(f"line table: {time.perf_counter()-t0:.1f}s  side tables {lt.region_lines.nbytes/1e6:.1f} MB  regions {lt.num_regions}", flush=True)
 
     # camera rays: half-field 1080p-equivalent, from a hill looking across
     cfg = RenderConfig(width=1920, height=1080 // 2, checkerboard=False,

@@ -179,7 +179,9 @@ def test_apply_edits_hbm_incremental(rng):
     bm2, lt2 = apply_edits_hbm(copy(bm), copy(lt), xs, ys, zs, vals)
     assert np.array_equal(np.asarray(bm_ref.meta), np.asarray(bm2.meta))
     assert np.array_equal(np.asarray(bm_ref.bricks), np.asarray(bm2.bricks))
-    assert np.array_equal(np.asarray(lt_ref.lines), np.asarray(lt2.lines))
+    assert np.array_equal(
+        np.asarray(lt_ref.region_lines), np.asarray(lt2.region_lines)
+    )
     assert np.array_equal(np.asarray(lt_ref.macro), np.asarray(lt2.macro))
     assert np.array_equal(np.asarray(lt_ref.macro2), np.asarray(lt2.macro2))
 

@@ -66,9 +66,16 @@ MACRO2_WORDS = 8  # L2 macro capacity: 256 super-regions (broadcast-select)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LineTable:
-    """HBM line-table form of a brickmap (see module doc)."""
+    """HBM line-table form of a brickmap (see module doc).
 
-    lines: jax.Array  # i32[(NR + NBL) * 8, 128]
+    Holds only the *small* side tables — region lines (packed meta +
+    brick-slot words, ~8 MB for the 8k world) and the two macro levels.
+    The brick lines are a zero-copy bitcast view of ``bm.bricks`` built
+    inside :func:`trace_brickmap_hbm`'s jit, so the table adds no O(world)
+    memory (round 1 kept a second full copy of the brick words alive).
+    """
+
+    region_lines: jax.Array  # i32[NR * 8, 128]
     macro: jax.Array  # i32[8, 128] packed region-occupancy bits
     # L2 macro: occupancy of 4x4x4-region groups ("super-regions", 32^3
     # chunks), packed into <= MACRO2_WORDS words so the kernel can fetch it
@@ -78,12 +85,22 @@ class LineTable:
     region_dims: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
 
+def brick_lines_view(bm: BrickMap) -> jax.Array:
+    """``bm.bricks`` as i32 brick lines ``[NBL * 8, 128]`` — a pure
+    bitcast + reshape (zero-copy under jit; a pad copy only when the word
+    count is not line-aligned, i.e. small non-factor-32 worlds)."""
+    bw = jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)
+    padw = (-bw.shape[0]) % 1024
+    if padw:
+        bw = jnp.concatenate([bw, jnp.zeros((padw,), I32)])
+    return bw.reshape(-1, 128)
+
+
 def make_line_table(bm: BrickMap) -> LineTable:
-    """Build the HBM line table + macro occupancy for a brickmap.
+    """Build the HBM region-line table + macro occupancy for a brickmap.
 
     Requires LINEAR coarse layout (the terrain builders' output).  Grid dims
-    are padded up to multiples of 8 with empty chunks; brick lines follow
-    region lines in one flat array.
+    are padded up to multiples of 8 with empty chunks.
     """
     assert bm.coarse_layout is Layout.LINEAR, "line table needs LINEAR coarse"
     gx, gy, gz = bm.grid_dims
@@ -103,17 +120,9 @@ def make_line_table(bm: BrickMap) -> LineTable:
 
     meta_r = to_regions(bm.meta, 0)
     slots_r = to_regions(bm.brick_idx, -1)
-    region_lines = jnp.concatenate([meta_r, slots_r], axis=1)  # [nr, 1024]
-
-    wpb = bm.words_per_brick
-    bw = jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)
-    padw = (-bw.shape[0]) % 1024
-    if padw:
-        bw = jnp.concatenate([bw, jnp.zeros((padw,), I32)])
-    brick_lines = bw.reshape(-1, 1024)
-
-    lines = jnp.concatenate([region_lines, brick_lines], axis=0)
-    lines = lines.reshape(-1, 8, 128).reshape(-1, 128)
+    region_lines = (
+        jnp.concatenate([meta_r, slots_r], axis=1).reshape(-1, 128)
+    )  # [nr*8, 128]
 
     occ_r = jnp.any((meta_r >> 30) & 1 == 1, axis=1)
     occ_pad = jnp.concatenate(
@@ -151,7 +160,7 @@ def make_line_table(bm: BrickMap) -> LineTable:
         macro2 = jnp.full((MACRO2_WORDS,), -1, I32)  # all occupied
 
     return LineTable(
-        lines=lines,
+        region_lines=region_lines,
         macro=macro,
         macro2=macro2,
         num_regions=nr,
@@ -163,7 +172,8 @@ def make_line_table(bm: BrickMap) -> LineTable:
 def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     """In-place voxel edits on a brickmap *and* its HBM line table.
 
-    O(edits): K word writes into ``lt.lines`` (meta + brick words) and an
+    O(edits): K meta-word writes into ``lt.region_lines`` (brick words
+    flow through the zero-copy view of ``bm.bricks``) and an
     incremental macro-occupancy refresh of the touched regions (one 512-word
     gather per edit), instead of rebuilding the multi-GB table.  Requires
     ``dense_slots`` (like :func:`voxelengine_tpu.core.brickmap.apply_edits`,
@@ -187,14 +197,11 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     region = (cx >> 3) + rx * ((cy >> 3) + ry * (cz >> 3))
     local = (cx & 7) + ((cy & 7) << 3) + ((cz & 7) << 6)
 
-    lines = lt.lines
-    # meta word (region record rows 0..3)
-    lines = lines.at[region * 8 + (local >> 7), local & 127].set(bm2.meta[ci])
-    # brick word (dense slots: slot == ci)
-    wg = ci * wpb + word_col
-    lines = lines.at[(nr + (wg >> 10)) * 8 + ((wg >> 7) & 7), wg & 127].set(
-        jax.lax.bitcast_convert_type(bm2.bricks[ci, word_col], jnp.int32)
-    )
+    # meta word (region record rows 0..3); brick words need no table write
+    # — the kernel reads them through the zero-copy view of bm2.bricks
+    lines = lt.region_lines.at[
+        region * 8 + (local >> 7), local & 127
+    ].set(bm2.meta[ci])
 
     # macro occupancy of the touched regions: OR over their 512 chunk metas
     # (chunk ids of region r: base + dx + gx*dy + gx*gy*dz over the 8^3 cube,
@@ -261,7 +268,7 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
         macro2 = jax.lax.fori_loop(0, ci.shape[0], body2, macro2)
 
     lt2 = dataclasses.replace(
-        lt, lines=lines, macro=macro_flat.reshape(8, 128), macro2=macro2
+        lt, region_lines=lines, macro=macro_flat.reshape(8, 128), macro2=macro2
     )
     return bm2, lt2
 
@@ -402,7 +409,8 @@ def _bigtrace_kernel(
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     act_ref, padx_ref, pady_ref, padz_ref,
-    lines_hbm,
+    regions_hbm,
+    bricks_hbm,
     hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
     iters_ref,
     cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
@@ -815,14 +823,30 @@ def _bigtrace_kernel(
         for _k in range(dma_per_round):
             miss = jnp.min(stalled_want)
 
-            @pl.when(miss != NOLINE)
+            # unified line id space, two source tables: region records
+            # (< NR, from the small side table) and brick lines (>= NR,
+            # read through the zero-copy view of the brickmap itself)
+            @pl.when((miss != NOLINE) & (miss < NR))
             def _():
                 slot = (rr0 + _k) % S
                 pltpu.make_async_copy(
-                    lines_hbm.at[pl.ds(miss * 8, 8), :],
+                    regions_hbm.at[pl.ds(miss * 8, 8), :],
                     cache_ref.at[pl.ds(slot * 8, 8), :],
                     sems_ref.at[_k],
                 ).start()
+
+            @pl.when((miss != NOLINE) & (miss >= NR))
+            def _():
+                slot = (rr0 + _k) % S
+                pltpu.make_async_copy(
+                    bricks_hbm.at[pl.ds((miss - NR) * 8, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sems_ref.at[_k],
+                ).start()
+
+            @pl.when(miss != NOLINE)
+            def _():
+                slot = (rr0 + _k) % S
                 tags_ref[:] = jnp.where(
                     (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
                 )
@@ -834,7 +858,7 @@ def _bigtrace_kernel(
             def _():
                 slot = (rr0 + _k) % S
                 pltpu.make_async_copy(
-                    lines_hbm.at[pl.ds(0, 8), :],
+                    regions_hbm.at[pl.ds(0, 8), :],
                     cache_ref.at[pl.ds(slot * 8, 8), :],
                     sems_ref.at[_k],
                 ).wait()
@@ -962,7 +986,7 @@ def trace_brickmap_hbm(
         [pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 10
-        + [pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
     )
     kern = functools.partial(
         _bigtrace_kernel,
@@ -994,7 +1018,7 @@ def trace_brickmap_hbm(
             pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
         ],
         interpret=interpret,
-    )(lt.macro, lt.macro2, *ins, lt.lines)
+    )(lt.macro, lt.macro2, *ins, lt.region_lines, brick_lines_view(bm))
 
     flags = outs[0].reshape(-1)[:n]
     hit = (flags & 1) == 1
