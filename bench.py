@@ -140,14 +140,32 @@ def main():
     # chained frame loop: frame k+1 consumes frame k's framebuffer, so all
     # frames must execute; a single final block avoids counting the
     # host<->device round-trip latency per frame (sustained throughput,
-    # like a real render loop)
-    t0 = time.perf_counter()
-    for i in range(1, frames + 1):
-        fb = render_frame(
-            bm, fb, origin, euler, env, jnp.int32(i), cfg, fused, lt, perm
-        )
-    fb.block_until_ready()
-    frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
+    # like a real render loop).  The first batch after heavy host work
+    # (world build/load, compiles) measures up to 10x slow in this
+    # tunneled environment, so run one untimed warmup batch first and
+    # report the sustained batch.
+    # every frame is distinct (monotonic frame number + a ~1e-5 rad/frame
+    # camera drift, like a real fly-camera loop): repeated identical
+    # dispatches short-circuit in this environment and read as absurd
+    # throughput (measured 0.2 ms/frame for byte-identical batches)
+    def batch(first):
+        t0 = time.perf_counter()
+        for i in range(first, first + frames):
+            e = euler + jnp.float32(1e-5) * i
+            batch.fb = render_frame(
+                bm, batch.fb, origin, e, env, jnp.int32(i), cfg, fused, lt, perm
+            )
+        # force a value readback: block_until_ready was observed returning
+        # early on donated-chain buffers in this environment; a checksum
+        # transfer cannot lie (costs one ~60 ms round trip per batch,
+        # amortized over the frames and reported as-is)
+        batch.checksum = float(jnp.sum(batch.fb))
+        return (time.perf_counter() - t0) * 1000.0 / frames
+
+    batch.fb = fb
+    log(f"warmup batch: {batch(1):.1f} ms/frame")
+    frame_ms = batch(frames + 1)
+    log(f"frame checksum {batch.checksum:.1f}")
     mrays = rays_per_frame / frame_ms / 1000.0
 
     # honesty check: the production traversal must reproduce the plain
