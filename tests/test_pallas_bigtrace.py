@@ -276,3 +276,30 @@ def test_apply_edits_hbm_macro2_refresh(rng):
     bm2, lt2 = apply_edits_hbm(copy(bm), copy(lt), xs, ys, zs, vals)
     assert np.array_equal(np.asarray(lt_ref.macro), np.asarray(lt2.macro))
     assert np.array_equal(np.asarray(lt_ref.macro2), np.asarray(lt2.macro2))
+
+
+def test_shadow_rays_through_hbm_kernel(rng):
+    """Shadow-ray shading routed through the line-table kernel equals the
+    XLA-traced shading exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm = _world(rng, dims=(64, 64, 64), factor=8, fill=0.01)
+    lt = make_line_table(bm)
+    cfg = RenderConfig(
+        width=64, height=32, checkerboard=False, staged_trace=False,
+        trace_tile=128, trace_slots=4, tile_order=True, max_steps=256,
+        shadow_rays=True,
+    )
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 48.0, 32.0], jnp.float32)
+    euler = jnp.asarray([-0.6, 0.8, 0.0], jnp.float32)
+    fa = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                      jnp.int32(1), dataclasses.replace(cfg, tile_order=False))
+    fb = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                      jnp.int32(1), cfg, lt=lt)
+    assert np.array_equal(np.asarray(fa), np.asarray(fb))

@@ -197,8 +197,20 @@ def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None
     return origins, dirs, px, py, py_r
 
 
+def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
+    """Secondary-ray trace (shadows, AO): uses the HBM line-table kernel
+    when one is available (the XLA path is gather-bound on big worlds)."""
+    if lt is not None:
+        return trace_brickmap_hbm(
+            bm, lt, origins, dirs, max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+        )
+    return trace_brickmap(bm, origins, dirs, max_steps)
+
+
 def _ambient_occlusion(
-    bm: BrickMap, position, normal, px, py, frame_number, cfg: RenderConfig
+    bm: BrickMap, position, normal, px, py, frame_number, cfg: RenderConfig,
+    lt=None,
 ):
     """Hemisphere-sampled AO (working version of the reference's disabled
     scaffolding, ``Renderer.cu:120-165``): short 8-step occlusion rays with
@@ -219,7 +231,7 @@ def _ambient_occlusion(
         sd = sd / jnp.linalg.norm(sd, axis=-1, keepdims=True)
         below = jnp.sum(sd * normal, axis=-1) < 0.0
         sd = jnp.where(below[:, None], reflect(sd, normal), sd)
-        res = trace_brickmap(bm, position + normal * 0.01, sd, max_steps=8)
+        res = _secondary_trace(bm, lt, cfg, position + normal * 0.01, sd, 8)
         dist = jnp.linalg.norm(res.position - position, axis=-1)
         falloff = 1.0 - jnp.minimum(1.0 / jnp.maximum(dist * 10.0, 1e-6), 1.0)
         occ = occ + jnp.where(res.hit, falloff, 1.0)
@@ -270,7 +282,9 @@ def shade_pixels(
         )
     else:
         out = trace_brickmap(bm, origins, dirs, cfg.max_steps, fused=fused)
-    return shade_traced(bm, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg)
+    return shade_traced(
+        bm, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, lt
+    )
 
 
 def shade_traced(
@@ -285,6 +299,7 @@ def shade_traced(
     env: Environment,
     frame_number,
     cfg: RenderConfig,
+    lt: Optional[LineTable] = None,
 ):
     """Shading/compositing stage of ``screenDispatch`` given trace results;
     ``bm`` is only needed for the optional shadow/AO secondary traces."""
@@ -296,8 +311,10 @@ def shade_traced(
     shadow_hit = None
     if cfg.shadow_rays and bm is not None:
         L = env.light_direction
-        sres = trace_brickmap(
-            bm, out.position + L * 0.01, jnp.broadcast_to(L, normal.shape), cfg.max_steps
+        sres = _secondary_trace(
+            bm, lt, cfg,
+            out.position + L * 0.01, jnp.broadcast_to(L, normal.shape),
+            cfg.max_steps,
         )
         shadow_hit = sres.hit & out.hit
         steps = steps + jnp.where(out.hit, sres.steps, 0)
@@ -308,7 +325,9 @@ def shade_traced(
         color = calculate_color(cam_pos, normal, out.position, env, shadow_hit)
         if cfg.ao_samples > 0 and bm is not None:
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
-            ao = _ambient_occlusion(bm, out.position, normal, px, py, frame_number, cfg)
+            ao = _ambient_occlusion(
+                bm, out.position, normal, px, py, frame_number, cfg, lt
+            )
             color = jnp.where((l_dot == 0.0)[:, None], color * ao[:, None], color)
         color = tonemap(color)
         write = jnp.ones_like(out.hit)
