@@ -389,6 +389,19 @@ def _fetch_pass(cache, cslot, row, lane, S: int):
     return out
 
 
+def _fetch_static_row0(row0_b, lane):
+    """vals[i,j] = row0_b[0, lane[i,j]] from a sublane-broadcast [8,128]
+    single row (one ax1 take per group; row index statically 0)."""
+    R = lane.shape[0]
+    sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    out = jnp.zeros((R, 128), I32)
+    for g in range(R):
+        lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
+        y = jnp.take_along_axis(row0_b, lane_rep, axis=1)
+        out = jnp.where(sub == g, jnp.broadcast_to(y[0:1, :], (R, 128)), out)
+    return out
+
+
 def _fetch_static(line, row, lane):
     """vals[i,j] = line[row[i,j], lane[i,j]] from one static [8,128] line."""
     R = row.shape[0]
@@ -444,6 +457,7 @@ def _bigtrace_kernel(
             started_ref[_k] = 0
 
     macro = macro_ref[:]
+    macro_row0 = jnp.broadcast_to(macro[0:1, :], (8, 128))
     sx, sy, sz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     padx, pady, padz = padx_ref[:], pady_ref[:], padz_ref[:]
@@ -511,7 +525,12 @@ def _bigtrace_kernel(
         if use_macro:
             mw = region >> 5
             mbit = region & 31
-            mword = _fetch_static(macro, mw >> 7, mw & 127)
+            if NR <= 4096:
+                # <= 128 macro words: the word row is always 0, so one
+                # lane gather per group suffices (no cross-sublane take)
+                mword = _fetch_static_row0(macro_row0, mw & 127)
+            else:
+                mword = _fetch_static(macro, mw >> 7, mw & 127)
             region_occ = ((mword >> mbit) & 1) == 1
             # L2: super-region occupancy via a broadcast-select chain over
             # <= MACRO2_WORDS scalar words (no gather)
