@@ -98,7 +98,14 @@ def main():
         vals = [int(v) for v in part.split(",")]
         tile, ns, istp, dpr = vals[:4]
         kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr)
-        if len(vals) >= 6 and vals[4] > 0:  # tile,ns,istp,dpr,stage,frac
+        if "--rr" in sys.argv:
+            from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_rr
+
+            fn = lambda: trace_brickmap_hbm_rr(
+                bm, lt, o, d, 2048, rows_inflight=tile // 128,
+                num_slots=ns, inner_steps=istp, dma_per_round=dpr,
+            )
+        elif len(vals) >= 6 and vals[4] > 0:  # tile,ns,istp,dpr,stage,frac
             fn = lambda: trace_brickmap_hbm_staged(
                 bm, lt, o, d, 2048, stage_steps=vals[4], tail_frac=vals[5], **kw
             )

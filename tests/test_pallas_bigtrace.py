@@ -303,3 +303,34 @@ def test_shadow_rays_through_hbm_kernel(rng):
     fb = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
                       jnp.int32(1), cfg, lt=lt)
     assert np.array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_rr_kernel_matches_xla(rng):
+    """Row-retirement kernel == plain XLA trace exactly, with many queue
+    rows cycling through few in-flight slots."""
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_rr
+
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 1280, bm.world_dims)  # 10 rows
+    ref = trace_brickmap(bm, origins, rays, 256)
+    out = trace_brickmap_hbm_rr(
+        bm, lt, origins, rays, 256,
+        rows_inflight=4, num_slots=4, interpret=True,
+    )
+    _assert_match(out, ref, atol=1e-5)
+
+
+def test_rr_kernel_l2_and_truncation(rng):
+    """RR kernel with L2 macro skips and budget-truncated rays."""
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_rr
+
+    bm = _world_l2(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 384, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 96)  # some rays truncate
+    out = trace_brickmap_hbm_rr(
+        bm, lt, origins, rays, 96,
+        rows_inflight=8, num_slots=4, interpret=True,
+    )
+    _assert_match(out, ref, atol=1e-5)

@@ -416,6 +416,368 @@ def _fetch_static(line, row, lane):
     return out
 
 
+
+
+def _trace_inner(
+    env, cache, tag_vals, carry, *,
+    grid_dims, region_dims, num_regions, factor, wpb,
+    max_steps, num_slots, use_macro, brick_layout,
+):
+    """One DDA event for every ray in the working set — the shared hot
+    loop body of the tile kernel and the row-retirement kernel.  ``env``
+    carries the per-ray constants (start, direction, derived DDA terms,
+    edge pads) plus the macro tables; everything else is loop state."""
+    (sx, sy, sz, dx, dy, dz,
+     stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
+     padx, pady, padz, macro, macro_row0, macro2_words) = env
+    GX, GY, GZ = grid_dims
+    RX, RY, RZ = region_dims
+    SRX, SRY = -(-RX // 4), -(-RY // 4)
+    f = factor
+    S = num_slots
+    NR = num_regions
+    R = sx.shape[0]
+    if brick_layout is Layout.LINEAR:
+        def brick_bit(x, y, z):
+            return x + y * f + z * (f * f)
+    else:  # TILED_LINEAR (f % 8 == 0)
+        tF = f // 8
+        def brick_bit(x, y, z):
+            tile = (x >> 3) + (y >> 3) * tF + (z >> 3) * (tF * tF)
+            return tile * 512 + (x & 7) + ((y & 7) << 3) + ((z & 7) << 6)
+    zero = jnp.zeros((R, 128), F32)
+    zeroi = jnp.zeros((R, 128), I32)
+
+    (act, fine, pend, hit, imm, hit_imm, steps,
+     ccx, ccy, ccz, ctx, cty, ctz, centry,
+     fcx, fcy, fcz, ftx, fty, ftz,
+     fsx, fsy, fsz, fpx, fpy, fpz,
+     fpadx, fpady, fpadz, fsteps,
+     cnx, cny, cnz, fnx, fny, fnz,
+     pox, poy, poz, nox, noy, noz,
+     pmeta, bslot, want) = carry
+    active = act != 0
+    in_fine = fine != 0
+    pending = pend != 0
+    coarse_phase = active & ~in_fine & ~pending
+    pend_phase = active & pending
+    fine_phase = active & in_fine
+
+    # ---- region/local decomposition of the coarse cell ----
+    in_range_c = (
+        (ccx >= 0) & (ccx < GX + padx)
+        & (ccy >= 0) & (ccy < GY + pady)
+        & (ccz >= 0) & (ccz < GZ + padz)
+    )
+    clx = jnp.clip(ccx, 0, GX - 1)
+    cly = jnp.clip(ccy, 0, GY - 1)
+    clz = jnp.clip(ccz, 0, GZ - 1)
+    rgx, rgy, rgz = clx >> 3, cly >> 3, clz >> 3
+    region = rgx + RX * (rgy + RY * rgz)
+    local = (clx & 7) + ((cly & 7) << 3) + ((clz & 7) << 6)
+
+    # ---- macro occupancy (static vreg, no cache involved) ----
+    if use_macro:
+        mw = region >> 5
+        mbit = region & 31
+        if NR <= 4096:
+            # <= 128 macro words: the word row is always 0, so one
+            # lane gather per group suffices (no cross-sublane take)
+            mword = _fetch_static_row0(macro_row0, mw & 127)
+        else:
+            mword = _fetch_static(macro, mw >> 7, mw & 127)
+        region_occ = ((mword >> mbit) & 1) == 1
+        # L2: super-region occupancy via a broadcast-select chain over
+        # <= MACRO2_WORDS scalar words (no gather)
+        sregion = (rgx >> 2) + SRX * ((rgy >> 2) + SRY * (rgz >> 2))
+        mw2 = sregion >> 5
+        sword = jnp.zeros((R, 128), I32)
+        for k in range(MACRO2_WORDS):
+            sword = jnp.where(mw2 == k, macro2_words[k], sword)
+        sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
+    else:
+        region_occ = jnp.ones((R, 128), jnp.bool_)
+        sregion_occ = jnp.ones((R, 128), jnp.bool_)
+    macro_skip = coarse_phase & in_range_c & ~region_occ
+    skip2 = macro_skip & ~sregion_occ  # wider L2 span (32 chunks)
+
+    # ---- per-ray wanted line + cache residency ----
+    meta_lane = local & 127
+    meta_row = local >> 7  # 0..3; slot words at +4
+    bit = brick_bit(
+        jnp.clip(fcx, 0, f - 1),
+        jnp.clip(fcy, 0, f - 1),
+        jnp.clip(fcz, 0, f - 1),
+    )  # also the fine occupancy bit below
+    w_glob = jnp.where(fine_phase, bslot * wpb + (bit >> 5), 0)
+    want_new = jnp.where(
+        fine_phase,
+        NR + (w_glob >> 10),
+        jnp.where(
+            (coarse_phase & in_range_c & region_occ) | pend_phase,
+            region,
+            NOLINE,
+        ),
+    )
+    row = jnp.where(
+        fine_phase,
+        (w_glob >> 7) & 7,
+        jnp.where(pend_phase, meta_row + 4, meta_row),
+    )
+    lane = jnp.where(fine_phase, w_glob & 127, meta_lane)
+
+    cslot = jnp.full((R, 128), -1, I32)
+    for s in range(S):
+        cslot = jnp.where(want_new == tag_vals[s], s, cslot)
+    resident = cslot >= 0
+    served = resident & (want_new != NOLINE)
+    word = _fetch_pass(cache, cslot, row, lane, S)
+
+    in_range_f = (
+        (fcx >= 0) & (fcx < f + fpadx)
+        & (fcy >= 0) & (fcy < f + fpady)
+        & (fcz >= 0) & (fcz < f + fpadz)
+    )
+    # rays that need a line they don't have stall this step
+    runnable = active & (
+        macro_skip
+        | served
+        | (coarse_phase & ~in_range_c)  # world-miss needs no fetch
+        | (fine_phase & ~in_range_f)  # fine out-of-range ascends fetchless
+    )
+
+    # ================= coarse: meta test =================
+    meta = jnp.where(pend_phase, pmeta, word)
+    occ_c = ((meta >> 30) & 1) == 1
+    bmnx = (meta & 31).astype(F32)
+    bmny = ((meta >> 5) & 31).astype(F32)
+    bmnz = ((meta >> 10) & 31).astype(F32)
+    bmxx = ((meta >> 15) & 31).astype(F32)
+    bmxy = ((meta >> 20) & 31).astype(F32)
+    bmxz = ((meta >> 25) & 31).astype(F32)
+
+    box_lox = clx.astype(F32) + bmnx / f
+    box_loy = cly.astype(F32) + bmny / f
+    box_loz = clz.astype(F32) + bmnz / f
+    box_hix = clx.astype(F32) + (bmxx + 1.0) / f
+    box_hiy = cly.astype(F32) + (bmxy + 1.0) / f
+    box_hiz = clz.astype(F32) + (bmxz + 1.0) / f
+    t1x = jnp.minimum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
+    t2x = jnp.maximum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
+    t1y = jnp.minimum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
+    t2y = jnp.maximum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
+    t1z = jnp.minimum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
+    t2z = jnp.maximum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
+    btmin = jnp.maximum(jnp.maximum(t1x, t1y), t1z)
+    btmax = jnp.minimum(jnp.minimum(t2x, t2y), t2z)
+    bhit = btmax >= jnp.maximum(btmin, 0.0)
+    is_x = btmin == t1x
+    is_y = (~is_x) & (btmin == t1y)
+    bnx = jnp.where(is_x, jnp.where(ivx < 0, -1.0, 1.0), 0.0)
+    bny = jnp.where(is_y, jnp.where(ivy < 0, -1.0, 1.0), 0.0)
+    bnz = jnp.where(is_x | is_y, 0.0, jnp.where(ivz < 0, -1.0, 1.0))
+
+    occupied = in_range_c & occ_c & bhit
+    # coarse ray on an occupied+hit chunk defers to a pend step (it needs
+    # the slot word next iteration); pend ray completes the descend now
+    to_pend = runnable & coarse_phase & occupied
+    descend = runnable & pend_phase
+    coarse_miss = runnable & coarse_phase & ~in_range_c
+    coarse_adv = runnable & coarse_phase & in_range_c & ~occupied & ~macro_skip
+
+    imm_new = (steps == 0) & (btmin <= 0.0)
+    use_box = btmin > 0.0
+    ex = jnp.where(use_box, sx + btmin * dx, sx + dx * centry)
+    ey = jnp.where(use_box, sy + btmin * dy, sy + dy * centry)
+    ez = jnp.where(use_box, sz + btmin * dz, sz + dz * centry)
+    fsx_new = (ex - clx.astype(F32)) * f
+    fsy_new = (ey - cly.astype(F32)) * f
+    fsz_new = (ez - clz.astype(F32)) * f
+    fcx_new = fsx_new.astype(I32)
+    fcy_new = fsy_new.astype(I32)
+    fcz_new = fsz_new.astype(I32)
+    ftx_new = jnp.where(dx != 0.0, ((fcx_new + (stx > 0)).astype(F32) - fsx_new) / dx, BIG)
+    fty_new = jnp.where(dy != 0.0, ((fcy_new + (sty > 0)).astype(F32) - fsy_new) / dy, BIG)
+    ftz_new = jnp.where(dz != 0.0, ((fcz_new + (stz > 0)).astype(F32) - fsz_new) / dz, BIG)
+    on_edge_f = (fcx_new == f) | (fcy_new == f) | (fcz_new == f)
+    fpadx_new = jnp.where(on_edge_f & (dx < 0.0), 1, 0)
+    fpady_new = jnp.where(on_edge_f & (dy < 0.0), 1, 0)
+    fpadz_new = jnp.where(on_edge_f & (dz < 0.0), 1, 0)
+
+    # ================= fine level =================
+    occ_f = (((word >> (bit & 31)) & 1) == 1)
+
+    fine_hit = runnable & fine_phase & in_range_f & occ_f
+    fine_try = runnable & fine_phase & in_range_f & ~occ_f
+
+    fax, fay, faz = _axis_pick3(ftx, fty, ftz)
+    ftc = jnp.where(fax, ftx, jnp.where(fay, fty, ftz))
+    fix = jnp.where(fax, (fcx + (stx > 0)).astype(F32), fsx + ftc * dx)
+    fiy = jnp.where(fay, (fcy + (sty > 0)).astype(F32), fsy + ftc * dy)
+    fiz = jnp.where(faz, (fcz + (stz > 0)).astype(F32), fsz + ftc * dz)
+    oob_f = (
+        (fix < 0.0) | (fix > f) | (fiy < 0.0) | (fiy > f)
+        | (fiz < 0.0) | (fiz > f)
+    )
+    fine_step = fine_try & ~oob_f
+    ascend = (runnable & fine_phase & ~in_range_f) | (fine_try & oob_f)
+
+    # ================= coarse advance (normal + macro skip) ==========
+    do_cadv = coarse_adv | ascend
+    cax, cay, caz = _axis_pick3(ctx, cty, ctz)
+    ctc = jnp.where(cax, ctx, jnp.where(cay, cty, ctz))
+
+    # macro skip: step the region (or, when the whole super-region is
+    # empty, the 4x smaller super-region grid) DDA, re-seed the coarse
+    # DDA at the exit, charge the exact L1 chunk distance to the budget
+    if use_macro:
+        # skip-span corner / size in chunk units (8 or 32), computed
+        # from the CLAMPED cell and clamped to the grid: the exit face
+        # of a span that sticks out of the grid must be the grid face,
+        # or the charged distance would overshoot where the plain walk
+        # exits (e.g. a 32-chunk L2 span on a 16-chunk-tall grid)
+        lox = jnp.where(skip2, (clx >> 5) << 5, rgx << 3)
+        loy = jnp.where(skip2, (cly >> 5) << 5, rgy << 3)
+        loz = jnp.where(skip2, (clz >> 5) << 5, rgz << 3)
+        span = jnp.where(skip2, 32, 8)
+        hix = jnp.minimum(lox + span, GX)
+        hiy = jnp.minimum(loy + span, GY)
+        hiz = jnp.minimum(loz + span, GZ)
+        nbx = jnp.where(stx > 0, hix, lox).astype(F32)
+        nby = jnp.where(sty > 0, hiy, loy).astype(F32)
+        nbz = jnp.where(stz > 0, hiz, loz).astype(F32)
+        rtx = jnp.where(dx != 0.0, (nbx - sx) / dx, BIG)
+        rty = jnp.where(dy != 0.0, (nby - sy) / dy, BIG)
+        rtz = jnp.where(dz != 0.0, (nbz - sz) / dz, BIG)
+        rax, ray_, raz = _axis_pick3(rtx, rty, rtz)
+        rt1 = jnp.where(rax, rtx, jnp.where(ray_, rty, rtz))
+        mx = sx + rt1 * dx
+        my = sy + rt1 * dy
+        mz = sz + rt1 * dz
+        # stepped axis: exactly the first cell across the span face;
+        # others: floor, clamped into the current span (FP guard)
+        skx = jnp.where(
+            rax,
+            jnp.where(stx > 0, hix, lox - 1),
+            jnp.clip(mx.astype(I32) - (mx < 0.0), lox, hix - 1),
+        )
+        sky = jnp.where(
+            ray_,
+            jnp.where(sty > 0, hiy, loy - 1),
+            jnp.clip(my.astype(I32) - (my < 0.0), loy, hiy - 1),
+        )
+        skz = jnp.where(
+            raz,
+            jnp.where(stz > 0, hiz, loz - 1),
+            jnp.clip(mz.astype(I32) - (mz < 0.0), loz, hiz - 1),
+        )
+        skip_l1 = (
+            jnp.abs(skx - ccx) + jnp.abs(sky - ccy) + jnp.abs(skz - ccz)
+        )
+    else:
+        skx = sky = skz = zeroi
+        rt1 = zero
+        skip_l1 = zeroi
+
+    new_ccx = jnp.where(macro_skip, skx, jnp.where(do_cadv & cax, ccx + stx, ccx))
+    new_ccy = jnp.where(macro_skip, sky, jnp.where(do_cadv & cay, ccy + sty, ccy))
+    new_ccz = jnp.where(macro_skip, skz, jnp.where(do_cadv & caz, ccz + stz, ccz))
+    new_ctx = jnp.where(
+        macro_skip,
+        jnp.where(dx != 0.0, ((new_ccx + (stx > 0)).astype(F32) - sx) / dx, BIG),
+        jnp.where(do_cadv & cax, ctx + tdx, ctx),
+    )
+    new_cty = jnp.where(
+        macro_skip,
+        jnp.where(dy != 0.0, ((new_ccy + (sty > 0)).astype(F32) - sy) / dy, BIG),
+        jnp.where(do_cadv & cay, cty + tdy, cty),
+    )
+    new_ctz = jnp.where(
+        macro_skip,
+        jnp.where(dz != 0.0, ((new_ccz + (stz > 0)).astype(F32) - sz) / dz, BIG),
+        jnp.where(do_cadv & caz, ctz + tdz, ctz),
+    )
+    new_centry = jnp.where(
+        macro_skip, rt1, jnp.where(do_cadv, ctc, centry)
+    )
+
+    new_fine = (in_fine | descend) & ~ascend & ~fine_hit
+    def pick3(dsc, stp, new, adv, old):
+        return jnp.where(dsc, new, jnp.where(stp, adv, old))
+    nfcx = pick3(descend, fine_step, fcx_new, jnp.where(fax, fcx + stx, fcx), fcx)
+    nfcy = pick3(descend, fine_step, fcy_new, jnp.where(fay, fcy + sty, fcy), fcy)
+    nfcz = pick3(descend, fine_step, fcz_new, jnp.where(faz, fcz + stz, fcz), fcz)
+    nftx = pick3(descend, fine_step, ftx_new, jnp.where(fax, ftx + tdx, ftx), ftx)
+    nfty = pick3(descend, fine_step, fty_new, jnp.where(fay, fty + tdy, fty), fty)
+    nftz = pick3(descend, fine_step, ftz_new, jnp.where(faz, ftz + tdz, ftz), ftz)
+    nfsx = jnp.where(descend, fsx_new, fsx)
+    nfsy = jnp.where(descend, fsy_new, fsy)
+    nfsz = jnp.where(descend, fsz_new, fsz)
+    nfpx = pick3(descend, fine_step, fsx_new, fix, fpx)
+    nfpy = pick3(descend, fine_step, fsy_new, fiy, fpy)
+    nfpz = pick3(descend, fine_step, fsz_new, fiz, fpz)
+    nfpadx = jnp.where(descend, fpadx_new, fpadx)
+    nfpady = jnp.where(descend, fpady_new, fpady)
+    nfpadz = jnp.where(descend, fpadz_new, fpadz)
+    nfsteps = jnp.where(descend, 0, fsteps + jnp.where(fine_step, 1, 0))
+    ncnx = jnp.where(descend, bnx, cnx)
+    ncny = jnp.where(descend, bny, cny)
+    ncnz = jnp.where(descend, bnz, cnz)
+    nfnx = jnp.where(fine_step, jnp.where(fax, stx.astype(F32), 0.0), fnx)
+    nfny = jnp.where(fine_step, jnp.where(fay, sty.astype(F32), 0.0), fny)
+    nfnz = jnp.where(fine_step, jnp.where(faz, stz.astype(F32), 0.0), fnz)
+
+    nsteps = jnp.minimum(
+        steps
+        + jnp.where(do_cadv | fine_step, 1, 0)
+        + jnp.where(macro_skip, skip_l1, 0),
+        max_steps,
+    )
+
+    # hit bookkeeping uses PRE-update fine state (fine_hit lanes take
+    # neither descend nor step branches above)
+    hpx = fpx + (ccx * f).astype(F32)
+    hpy = fpy + (ccy * f).astype(F32)
+    hpz = fpz + (ccz * f).astype(F32)
+    first_cell = fsteps == 0
+    hnx = jnp.where(first_cell, cnx, fnx)
+    hny = jnp.where(first_cell, cny, fny)
+    hnz = jnp.where(first_cell, cnz, fnz)
+    npox = jnp.where(fine_hit, hpx, pox)
+    npoy = jnp.where(fine_hit, hpy, poy)
+    npoz = jnp.where(fine_hit, hpz, poz)
+    nnox = jnp.where(fine_hit, hnx, nox)
+    nnoy = jnp.where(fine_hit, hny, noy)
+    nnoz = jnp.where(fine_hit, hnz, noz)
+    nhit = hit | fine_hit.astype(I32)
+    nimm = jnp.where(descend, imm_new.astype(I32), imm)
+    nhit_imm = hit_imm | (fine_hit & (fsteps == 0) & (imm != 0)).astype(I32)
+
+    dead = nsteps >= max_steps
+    nact = (active & ~fine_hit & ~coarse_miss & ~dead).astype(I32)
+    npend = (to_pend | (pending & ~runnable & active)).astype(I32)
+    # pend rays carry the meta word; slot word becomes the brick slot
+    npmeta = jnp.where(to_pend, word, pmeta)
+    nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
+
+    # next-iteration want (for the outer DMA round): recompute cheaply
+    # from the POST state — stalled rays keep their want
+    nwant = jnp.where(
+        nact != 0,
+        jnp.where(want_new != NOLINE, want_new, want),
+        NOLINE,
+    )
+    nwant = jnp.where(runnable & (nact != 0), want_new, nwant)
+
+    return (nact, new_fine.astype(I32), npend, nhit, nimm, nhit_imm, nsteps,
+            new_ccx, new_ccy, new_ccz, new_ctx, new_cty, new_ctz, new_centry,
+            nfcx, nfcy, nfcz, nftx, nfty, nftz,
+            nfsx, nfsy, nfsz, nfpx, nfpy, nfpz,
+            nfpadx, nfpady, nfpadz, nfsteps,
+            ncnx, ncny, ncnz, nfnx, nfny, nfnz,
+            npox, npoy, npoz, nnox, nnoy, nnoz,
+            npmeta, nbslot, nwant)
+
 def _bigtrace_kernel(
     macro_ref,
     macro2_ref,
@@ -492,336 +854,16 @@ def _bigtrace_kernel(
     zero = jnp.zeros((R, 128), F32)
     zeroi = jnp.zeros((R, 128), I32)
 
-    def inner(cache, tag_vals, carry):
-        (act, fine, pend, hit, imm, hit_imm, steps,
-         ccx, ccy, ccz, ctx, cty, ctz, centry,
-         fcx, fcy, fcz, ftx, fty, ftz,
-         fsx, fsy, fsz, fpx, fpy, fpz,
-         fpadx, fpady, fpadz, fsteps,
-         cnx, cny, cnz, fnx, fny, fnz,
-         pox, poy, poz, nox, noy, noz,
-         pmeta, bslot, want) = carry
-        active = act != 0
-        in_fine = fine != 0
-        pending = pend != 0
-        coarse_phase = active & ~in_fine & ~pending
-        pend_phase = active & pending
-        fine_phase = active & in_fine
-
-        # ---- region/local decomposition of the coarse cell ----
-        in_range_c = (
-            (ccx >= 0) & (ccx < GX + padx)
-            & (ccy >= 0) & (ccy < GY + pady)
-            & (ccz >= 0) & (ccz < GZ + padz)
-        )
-        clx = jnp.clip(ccx, 0, GX - 1)
-        cly = jnp.clip(ccy, 0, GY - 1)
-        clz = jnp.clip(ccz, 0, GZ - 1)
-        rgx, rgy, rgz = clx >> 3, cly >> 3, clz >> 3
-        region = rgx + RX * (rgy + RY * rgz)
-        local = (clx & 7) + ((cly & 7) << 3) + ((clz & 7) << 6)
-
-        # ---- macro occupancy (static vreg, no cache involved) ----
-        if use_macro:
-            mw = region >> 5
-            mbit = region & 31
-            if NR <= 4096:
-                # <= 128 macro words: the word row is always 0, so one
-                # lane gather per group suffices (no cross-sublane take)
-                mword = _fetch_static_row0(macro_row0, mw & 127)
-            else:
-                mword = _fetch_static(macro, mw >> 7, mw & 127)
-            region_occ = ((mword >> mbit) & 1) == 1
-            # L2: super-region occupancy via a broadcast-select chain over
-            # <= MACRO2_WORDS scalar words (no gather)
-            sregion = (rgx >> 2) + SRX * ((rgy >> 2) + SRY * (rgz >> 2))
-            mw2 = sregion >> 5
-            sword = jnp.zeros((R, 128), I32)
-            for k in range(MACRO2_WORDS):
-                sword = jnp.where(mw2 == k, macro2_ref[k], sword)
-            sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
-        else:
-            region_occ = jnp.ones((R, 128), jnp.bool_)
-            sregion_occ = jnp.ones((R, 128), jnp.bool_)
-        macro_skip = coarse_phase & in_range_c & ~region_occ
-        skip2 = macro_skip & ~sregion_occ  # wider L2 span (32 chunks)
-
-        # ---- per-ray wanted line + cache residency ----
-        meta_lane = local & 127
-        meta_row = local >> 7  # 0..3; slot words at +4
-        bit = brick_bit(
-            jnp.clip(fcx, 0, f - 1),
-            jnp.clip(fcy, 0, f - 1),
-            jnp.clip(fcz, 0, f - 1),
-        )  # also the fine occupancy bit below
-        w_glob = jnp.where(fine_phase, bslot * wpb + (bit >> 5), 0)
-        want_new = jnp.where(
-            fine_phase,
-            NR + (w_glob >> 10),
-            jnp.where(
-                (coarse_phase & in_range_c & region_occ) | pend_phase,
-                region,
-                NOLINE,
-            ),
-        )
-        row = jnp.where(
-            fine_phase,
-            (w_glob >> 7) & 7,
-            jnp.where(pend_phase, meta_row + 4, meta_row),
-        )
-        lane = jnp.where(fine_phase, w_glob & 127, meta_lane)
-
-        cslot = jnp.full((R, 128), -1, I32)
-        for s in range(S):
-            cslot = jnp.where(want_new == tag_vals[s], s, cslot)
-        resident = cslot >= 0
-        served = resident & (want_new != NOLINE)
-        word = _fetch_pass(cache, cslot, row, lane, S)
-
-        in_range_f = (
-            (fcx >= 0) & (fcx < f + fpadx)
-            & (fcy >= 0) & (fcy < f + fpady)
-            & (fcz >= 0) & (fcz < f + fpadz)
-        )
-        # rays that need a line they don't have stall this step
-        runnable = active & (
-            macro_skip
-            | served
-            | (coarse_phase & ~in_range_c)  # world-miss needs no fetch
-            | (fine_phase & ~in_range_f)  # fine out-of-range ascends fetchless
-        )
-
-        # ================= coarse: meta test =================
-        meta = jnp.where(pend_phase, pmeta, word)
-        occ_c = ((meta >> 30) & 1) == 1
-        bmnx = (meta & 31).astype(F32)
-        bmny = ((meta >> 5) & 31).astype(F32)
-        bmnz = ((meta >> 10) & 31).astype(F32)
-        bmxx = ((meta >> 15) & 31).astype(F32)
-        bmxy = ((meta >> 20) & 31).astype(F32)
-        bmxz = ((meta >> 25) & 31).astype(F32)
-
-        box_lox = clx.astype(F32) + bmnx / f
-        box_loy = cly.astype(F32) + bmny / f
-        box_loz = clz.astype(F32) + bmnz / f
-        box_hix = clx.astype(F32) + (bmxx + 1.0) / f
-        box_hiy = cly.astype(F32) + (bmxy + 1.0) / f
-        box_hiz = clz.astype(F32) + (bmxz + 1.0) / f
-        t1x = jnp.minimum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
-        t2x = jnp.maximum((box_lox - sx) * ivx, (box_hix - sx) * ivx)
-        t1y = jnp.minimum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
-        t2y = jnp.maximum((box_loy - sy) * ivy, (box_hiy - sy) * ivy)
-        t1z = jnp.minimum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
-        t2z = jnp.maximum((box_loz - sz) * ivz, (box_hiz - sz) * ivz)
-        btmin = jnp.maximum(jnp.maximum(t1x, t1y), t1z)
-        btmax = jnp.minimum(jnp.minimum(t2x, t2y), t2z)
-        bhit = btmax >= jnp.maximum(btmin, 0.0)
-        is_x = btmin == t1x
-        is_y = (~is_x) & (btmin == t1y)
-        bnx = jnp.where(is_x, jnp.where(ivx < 0, -1.0, 1.0), 0.0)
-        bny = jnp.where(is_y, jnp.where(ivy < 0, -1.0, 1.0), 0.0)
-        bnz = jnp.where(is_x | is_y, 0.0, jnp.where(ivz < 0, -1.0, 1.0))
-
-        occupied = in_range_c & occ_c & bhit
-        # coarse ray on an occupied+hit chunk defers to a pend step (it needs
-        # the slot word next iteration); pend ray completes the descend now
-        to_pend = runnable & coarse_phase & occupied
-        descend = runnable & pend_phase
-        coarse_miss = runnable & coarse_phase & ~in_range_c
-        coarse_adv = runnable & coarse_phase & in_range_c & ~occupied & ~macro_skip
-
-        imm_new = (steps == 0) & (btmin <= 0.0)
-        use_box = btmin > 0.0
-        ex = jnp.where(use_box, sx + btmin * dx, sx + dx * centry)
-        ey = jnp.where(use_box, sy + btmin * dy, sy + dy * centry)
-        ez = jnp.where(use_box, sz + btmin * dz, sz + dz * centry)
-        fsx_new = (ex - clx.astype(F32)) * f
-        fsy_new = (ey - cly.astype(F32)) * f
-        fsz_new = (ez - clz.astype(F32)) * f
-        fcx_new = fsx_new.astype(I32)
-        fcy_new = fsy_new.astype(I32)
-        fcz_new = fsz_new.astype(I32)
-        ftx_new = jnp.where(dx != 0.0, ((fcx_new + (stx > 0)).astype(F32) - fsx_new) / dx, BIG)
-        fty_new = jnp.where(dy != 0.0, ((fcy_new + (sty > 0)).astype(F32) - fsy_new) / dy, BIG)
-        ftz_new = jnp.where(dz != 0.0, ((fcz_new + (stz > 0)).astype(F32) - fsz_new) / dz, BIG)
-        on_edge_f = (fcx_new == f) | (fcy_new == f) | (fcz_new == f)
-        fpadx_new = jnp.where(on_edge_f & (dx < 0.0), 1, 0)
-        fpady_new = jnp.where(on_edge_f & (dy < 0.0), 1, 0)
-        fpadz_new = jnp.where(on_edge_f & (dz < 0.0), 1, 0)
-
-        # ================= fine level =================
-        occ_f = (((word >> (bit & 31)) & 1) == 1)
-
-        fine_hit = runnable & fine_phase & in_range_f & occ_f
-        fine_try = runnable & fine_phase & in_range_f & ~occ_f
-
-        fax, fay, faz = _axis_pick3(ftx, fty, ftz)
-        ftc = jnp.where(fax, ftx, jnp.where(fay, fty, ftz))
-        fix = jnp.where(fax, (fcx + (stx > 0)).astype(F32), fsx + ftc * dx)
-        fiy = jnp.where(fay, (fcy + (sty > 0)).astype(F32), fsy + ftc * dy)
-        fiz = jnp.where(faz, (fcz + (stz > 0)).astype(F32), fsz + ftc * dz)
-        oob_f = (
-            (fix < 0.0) | (fix > f) | (fiy < 0.0) | (fiy > f)
-            | (fiz < 0.0) | (fiz > f)
-        )
-        fine_step = fine_try & ~oob_f
-        ascend = (runnable & fine_phase & ~in_range_f) | (fine_try & oob_f)
-
-        # ================= coarse advance (normal + macro skip) ==========
-        do_cadv = coarse_adv | ascend
-        cax, cay, caz = _axis_pick3(ctx, cty, ctz)
-        ctc = jnp.where(cax, ctx, jnp.where(cay, cty, ctz))
-
-        # macro skip: step the region (or, when the whole super-region is
-        # empty, the 4x smaller super-region grid) DDA, re-seed the coarse
-        # DDA at the exit, charge the exact L1 chunk distance to the budget
-        if use_macro:
-            # skip-span corner / size in chunk units (8 or 32), computed
-            # from the CLAMPED cell and clamped to the grid: the exit face
-            # of a span that sticks out of the grid must be the grid face,
-            # or the charged distance would overshoot where the plain walk
-            # exits (e.g. a 32-chunk L2 span on a 16-chunk-tall grid)
-            lox = jnp.where(skip2, (clx >> 5) << 5, rgx << 3)
-            loy = jnp.where(skip2, (cly >> 5) << 5, rgy << 3)
-            loz = jnp.where(skip2, (clz >> 5) << 5, rgz << 3)
-            span = jnp.where(skip2, 32, 8)
-            hix = jnp.minimum(lox + span, GX)
-            hiy = jnp.minimum(loy + span, GY)
-            hiz = jnp.minimum(loz + span, GZ)
-            nbx = jnp.where(stx > 0, hix, lox).astype(F32)
-            nby = jnp.where(sty > 0, hiy, loy).astype(F32)
-            nbz = jnp.where(stz > 0, hiz, loz).astype(F32)
-            rtx = jnp.where(dx != 0.0, (nbx - sx) / dx, BIG)
-            rty = jnp.where(dy != 0.0, (nby - sy) / dy, BIG)
-            rtz = jnp.where(dz != 0.0, (nbz - sz) / dz, BIG)
-            rax, ray_, raz = _axis_pick3(rtx, rty, rtz)
-            rt1 = jnp.where(rax, rtx, jnp.where(ray_, rty, rtz))
-            mx = sx + rt1 * dx
-            my = sy + rt1 * dy
-            mz = sz + rt1 * dz
-            # stepped axis: exactly the first cell across the span face;
-            # others: floor, clamped into the current span (FP guard)
-            skx = jnp.where(
-                rax,
-                jnp.where(stx > 0, hix, lox - 1),
-                jnp.clip(mx.astype(I32) - (mx < 0.0), lox, hix - 1),
-            )
-            sky = jnp.where(
-                ray_,
-                jnp.where(sty > 0, hiy, loy - 1),
-                jnp.clip(my.astype(I32) - (my < 0.0), loy, hiy - 1),
-            )
-            skz = jnp.where(
-                raz,
-                jnp.where(stz > 0, hiz, loz - 1),
-                jnp.clip(mz.astype(I32) - (mz < 0.0), loz, hiz - 1),
-            )
-            skip_l1 = (
-                jnp.abs(skx - ccx) + jnp.abs(sky - ccy) + jnp.abs(skz - ccz)
-            )
-        else:
-            skx = sky = skz = zeroi
-            rt1 = zero
-            skip_l1 = zeroi
-
-        new_ccx = jnp.where(macro_skip, skx, jnp.where(do_cadv & cax, ccx + stx, ccx))
-        new_ccy = jnp.where(macro_skip, sky, jnp.where(do_cadv & cay, ccy + sty, ccy))
-        new_ccz = jnp.where(macro_skip, skz, jnp.where(do_cadv & caz, ccz + stz, ccz))
-        new_ctx = jnp.where(
-            macro_skip,
-            jnp.where(dx != 0.0, ((new_ccx + (stx > 0)).astype(F32) - sx) / dx, BIG),
-            jnp.where(do_cadv & cax, ctx + tdx, ctx),
-        )
-        new_cty = jnp.where(
-            macro_skip,
-            jnp.where(dy != 0.0, ((new_ccy + (sty > 0)).astype(F32) - sy) / dy, BIG),
-            jnp.where(do_cadv & cay, cty + tdy, cty),
-        )
-        new_ctz = jnp.where(
-            macro_skip,
-            jnp.where(dz != 0.0, ((new_ccz + (stz > 0)).astype(F32) - sz) / dz, BIG),
-            jnp.where(do_cadv & caz, ctz + tdz, ctz),
-        )
-        new_centry = jnp.where(
-            macro_skip, rt1, jnp.where(do_cadv, ctc, centry)
-        )
-
-        new_fine = (in_fine | descend) & ~ascend & ~fine_hit
-        def pick3(dsc, stp, new, adv, old):
-            return jnp.where(dsc, new, jnp.where(stp, adv, old))
-        nfcx = pick3(descend, fine_step, fcx_new, jnp.where(fax, fcx + stx, fcx), fcx)
-        nfcy = pick3(descend, fine_step, fcy_new, jnp.where(fay, fcy + sty, fcy), fcy)
-        nfcz = pick3(descend, fine_step, fcz_new, jnp.where(faz, fcz + stz, fcz), fcz)
-        nftx = pick3(descend, fine_step, ftx_new, jnp.where(fax, ftx + tdx, ftx), ftx)
-        nfty = pick3(descend, fine_step, fty_new, jnp.where(fay, fty + tdy, fty), fty)
-        nftz = pick3(descend, fine_step, ftz_new, jnp.where(faz, ftz + tdz, ftz), ftz)
-        nfsx = jnp.where(descend, fsx_new, fsx)
-        nfsy = jnp.where(descend, fsy_new, fsy)
-        nfsz = jnp.where(descend, fsz_new, fsz)
-        nfpx = pick3(descend, fine_step, fsx_new, fix, fpx)
-        nfpy = pick3(descend, fine_step, fsy_new, fiy, fpy)
-        nfpz = pick3(descend, fine_step, fsz_new, fiz, fpz)
-        nfpadx = jnp.where(descend, fpadx_new, fpadx)
-        nfpady = jnp.where(descend, fpady_new, fpady)
-        nfpadz = jnp.where(descend, fpadz_new, fpadz)
-        nfsteps = jnp.where(descend, 0, fsteps + jnp.where(fine_step, 1, 0))
-        ncnx = jnp.where(descend, bnx, cnx)
-        ncny = jnp.where(descend, bny, cny)
-        ncnz = jnp.where(descend, bnz, cnz)
-        nfnx = jnp.where(fine_step, jnp.where(fax, stx.astype(F32), 0.0), fnx)
-        nfny = jnp.where(fine_step, jnp.where(fay, sty.astype(F32), 0.0), fny)
-        nfnz = jnp.where(fine_step, jnp.where(faz, stz.astype(F32), 0.0), fnz)
-
-        nsteps = jnp.minimum(
-            steps
-            + jnp.where(do_cadv | fine_step, 1, 0)
-            + jnp.where(macro_skip, skip_l1, 0),
-            max_steps,
-        )
-
-        # hit bookkeeping uses PRE-update fine state (fine_hit lanes take
-        # neither descend nor step branches above)
-        hpx = fpx + (ccx * f).astype(F32)
-        hpy = fpy + (ccy * f).astype(F32)
-        hpz = fpz + (ccz * f).astype(F32)
-        first_cell = fsteps == 0
-        hnx = jnp.where(first_cell, cnx, fnx)
-        hny = jnp.where(first_cell, cny, fny)
-        hnz = jnp.where(first_cell, cnz, fnz)
-        npox = jnp.where(fine_hit, hpx, pox)
-        npoy = jnp.where(fine_hit, hpy, poy)
-        npoz = jnp.where(fine_hit, hpz, poz)
-        nnox = jnp.where(fine_hit, hnx, nox)
-        nnoy = jnp.where(fine_hit, hny, noy)
-        nnoz = jnp.where(fine_hit, hnz, noz)
-        nhit = hit | fine_hit.astype(I32)
-        nimm = jnp.where(descend, imm_new.astype(I32), imm)
-        nhit_imm = hit_imm | (fine_hit & (fsteps == 0) & (imm != 0)).astype(I32)
-
-        dead = nsteps >= max_steps
-        nact = (active & ~fine_hit & ~coarse_miss & ~dead).astype(I32)
-        npend = (to_pend | (pending & ~runnable & active)).astype(I32)
-        # pend rays carry the meta word; slot word becomes the brick slot
-        npmeta = jnp.where(to_pend, word, pmeta)
-        nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
-
-        # next-iteration want (for the outer DMA round): recompute cheaply
-        # from the POST state — stalled rays keep their want
-        nwant = jnp.where(
-            nact != 0,
-            jnp.where(want_new != NOLINE, want_new, want),
-            NOLINE,
-        )
-        nwant = jnp.where(runnable & (nact != 0), want_new, nwant)
-
-        return (nact, new_fine.astype(I32), npend, nhit, nimm, nhit_imm, nsteps,
-                new_ccx, new_ccy, new_ccz, new_ctx, new_cty, new_ctz, new_centry,
-                nfcx, nfcy, nfcz, nftx, nfty, nftz,
-                nfsx, nfsy, nfsz, nfpx, nfpy, nfpz,
-                nfpadx, nfpady, nfpadz, nfsteps,
-                ncnx, ncny, ncnz, nfnx, nfny, nfnz,
-                npox, npoy, npoz, nnox, nnoy, nnoz,
-                npmeta, nbslot, nwant)
+    macro2_words = tuple(macro2_ref[k] for k in range(MACRO2_WORDS))
+    env = (sx, sy, sz, dx, dy, dz,
+           stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
+           padx, pady, padz, macro, macro_row0, macro2_words)
+    inner = functools.partial(
+        _trace_inner,
+        grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
+        factor=factor, wpb=wpb, max_steps=max_steps, num_slots=num_slots,
+        use_macro=use_macro, brick_layout=brick_layout,
+    )
 
     def outer_body(carry):
         it = carry[0]
@@ -888,7 +930,7 @@ def _bigtrace_kernel(
         cache = cache_ref[:]
         tag_vals = tuple(tags_ref[0, s] for s in range(S))
         st = jax.lax.fori_loop(
-            0, inner_steps, lambda i, c: inner(cache, tag_vals, c), st,
+            0, inner_steps, lambda i, c: inner(env, cache, tag_vals, c), st,
             unroll=False,
         )
         return (it + 1,) + st
@@ -1051,3 +1093,398 @@ def trace_brickmap_hbm(
     if return_iters:
         return res, outs[8].reshape(-1)[:n]
     return res
+
+
+# --------------------------------------------------------------------------
+# Row-granular ray retirement (experimental round-2 prototype; see
+# NOTES_ROUND3.md): instead of a grid of fixed ray tiles that each run to
+# their slowest ray, ONE kernel invocation keeps R 128-ray rows in flight
+# and, whenever a row finishes, DMA-writes its results and refills it from
+# an HBM queue of pending rows.  Removes the tile-lockstep tail while
+# preserving the block-order spatial coherence the line cache rides.
+# --------------------------------------------------------------------------
+
+
+def _rr_kernel(
+    macro_ref, macro2_ref,
+    rays_hbm, regions_hbm, bricks_hbm,
+    out_hbm,
+    cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
+    ray_stage, out_stage, rowid_ref, stage_sems,
+    *,
+    grid_dims, region_dims, num_regions: int, factor: int, wpb: int,
+    max_steps: int, num_slots: int, inner_steps: int, dma_per_round: int,
+    use_macro: bool, brick_layout: Layout, n_rows: int, R: int,
+):
+    S = num_slots
+    NR = num_regions
+
+    tags_ref[:] = jnp.full((8, 128), -1, I32)
+    rr_ref[0] = 0
+    for _k in range(dma_per_round):
+        started_ref[_k] = 0
+    for g in range(R):
+        rowid_ref[g] = -1
+
+    macro = macro_ref[:]
+    macro_row0 = jnp.broadcast_to(macro[0:1, :], (8, 128))
+    macro2_words = tuple(macro2_ref[k] for k in range(MACRO2_WORDS))
+    inner = functools.partial(
+        _trace_inner,
+        grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
+        factor=factor, wpb=wpb, max_steps=max_steps, num_slots=num_slots,
+        use_macro=use_macro, brick_layout=brick_layout,
+    )
+
+    zero = jnp.zeros((R, 128), F32)
+    zeroi = jnp.zeros((R, 128), I32)
+    sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    nol = jnp.full((R, 128), NOLINE, I32)
+
+    def bitf(v):
+        return jax.lax.bitcast_convert_type(v, F32)
+
+    def biti(v):
+        return jax.lax.bitcast_convert_type(v, I32)
+
+    def retire_row(g, st):
+        """DMA row g's results to its queue slot (call under pl.when)."""
+        def rowsum_i(v):
+            return jnp.sum(jnp.where(sub == g, v, 0), axis=0, keepdims=True)
+
+        def rowsum_f(v):
+            return biti(jnp.sum(jnp.where(sub == g, v, 0.0), axis=0, keepdims=True))
+
+        (act, fine, pend, hit, imm, hit_imm, steps) = st[0:7]
+        (pox, poy, poz, nox, noy, noz) = st[36:42]
+        out_stage[0:1, :] = rowsum_i(hit | (hit_imm << 1))
+        out_stage[1:2, :] = rowsum_f(pox)
+        out_stage[2:3, :] = rowsum_f(poy)
+        out_stage[3:4, :] = rowsum_f(poz)
+        out_stage[4:5, :] = rowsum_f(nox)
+        out_stage[5:6, :] = rowsum_f(noy)
+        out_stage[6:7, :] = rowsum_f(noz)
+        out_stage[7:8, :] = rowsum_i(steps)
+        rid = rowid_ref[g]
+        cp = pltpu.make_async_copy(
+            out_stage, out_hbm.at[pl.ds(rid * 8, 8), :], stage_sems.at[1]
+        )
+        cp.start()
+        cp.wait()
+
+    def outer_body(carry):
+        it, qpos = carry[0], carry[1]
+        env_dyn = carry[2:12]  # sx, sy, sz, dx, dy, dz, act0?, padx, pady, padz
+        st = carry[12:]
+        (sx, sy, sz, dx, dy, dz, padxf, padyf, padzf, _unused) = env_dyn
+        act = st[0]
+
+        # ---- retirement + refill round ----
+        fill = jnp.zeros((R, 128), jnp.bool_)
+        nsx, nsy, nsz, ndx, ndy, ndz = sx, sy, sz, dx, dy, dz
+        npadx, npady, npadz = padxf, padyf, padzf
+        nact_fill = zeroi
+        for g in range(R):
+            row_busy = jnp.max(jnp.where(sub == g, act, 0))
+            done = row_busy == 0
+
+            @pl.when(done & (rowid_ref[g] >= 0))
+            def _(g=g):
+                retire_row(g, st)
+                rowid_ref[g] = -1
+
+            can_fill = done & (rowid_ref[g] < 0) & (qpos < n_rows)
+
+            @pl.when(can_fill)
+            def _(g=g, qpos=qpos):
+                cp = pltpu.make_async_copy(
+                    rays_hbm.at[pl.ds(qpos * 16, 16), :], ray_stage,
+                    stage_sems.at[0],
+                )
+                cp.start()
+                cp.wait()
+                rowid_ref[g] = qpos
+
+            stg = ray_stage[:]
+            m = can_fill & (sub == g)
+
+            def brow(k, f32=False):
+                r = stg[k : k + 1, :]
+                if f32:
+                    r = bitf(r)
+                return jnp.broadcast_to(r, (R, 128))
+
+            nsx = jnp.where(m, brow(0, True), nsx)
+            nsy = jnp.where(m, brow(1, True), nsy)
+            nsz = jnp.where(m, brow(2, True), nsz)
+            ndx = jnp.where(m, brow(3, True), ndx)
+            ndy = jnp.where(m, brow(4, True), ndy)
+            ndz = jnp.where(m, brow(5, True), ndz)
+            nact_fill = jnp.where(m, brow(6), nact_fill)
+            npadx = jnp.where(m, brow(7), npadx)
+            npady = jnp.where(m, brow(8), npady)
+            npadz = jnp.where(m, brow(9), npadz)
+            fill = fill | m
+            qpos = jnp.where(can_fill, qpos + 1, qpos)
+
+        sx, sy, sz, dx, dy, dz = nsx, nsy, nsz, ndx, ndy, ndz
+        padxf, padyf, padzf = npadx, npady, npadz
+
+        # derived per-ray constants (deterministic recompute: unchanged
+        # rows reproduce their previous values exactly)
+        stx = jnp.where(dx > 0.0, 1, -1)
+        sty = jnp.where(dy > 0.0, 1, -1)
+        stz = jnp.where(dz > 0.0, 1, -1)
+        tdx = jnp.where(dx != 0.0, jnp.abs(1.0 / dx), BIG)
+        tdy = jnp.where(dy != 0.0, jnp.abs(1.0 / dy), BIG)
+        tdz = jnp.where(dz != 0.0, jnp.abs(1.0 / dz), BIG)
+        eps32 = 1.1920929e-07
+        ivx = 1.0 / jnp.where(dx == 0.0, eps32, dx)
+        ivy = 1.0 / jnp.where(dy == 0.0, eps32, dy)
+        ivz = 1.0 / jnp.where(dz == 0.0, eps32, dz)
+
+        # seed refilled rows' DDA state (everything else zeroed)
+        ccx0 = sx.astype(I32)
+        ccy0 = sy.astype(I32)
+        ccz0 = sz.astype(I32)
+        ctx0 = jnp.where(dx != 0.0, ((ccx0 + (stx > 0)).astype(F32) - sx) / dx, BIG)
+        cty0 = jnp.where(dy != 0.0, ((ccy0 + (sty > 0)).astype(F32) - sy) / dy, BIG)
+        ctz0 = jnp.where(dz != 0.0, ((ccz0 + (stz > 0)).astype(F32) - sz) / dz, BIG)
+
+        def zf(v):  # zero f32 on filled lanes
+            return jnp.where(fill, 0.0, v)
+
+        def zi(v):  # zero i32 on filled lanes
+            return jnp.where(fill, 0, v)
+
+        st = list(st)
+        st[0] = jnp.where(fill, nact_fill, st[0])  # act
+        for k in (1, 2, 3, 4, 5, 6):  # fine, pend, hit, imm, hit_imm, steps
+            st[k] = zi(st[k])
+        st[7] = jnp.where(fill, ccx0, st[7])
+        st[8] = jnp.where(fill, ccy0, st[8])
+        st[9] = jnp.where(fill, ccz0, st[9])
+        st[10] = jnp.where(fill, ctx0, st[10])
+        st[11] = jnp.where(fill, cty0, st[11])
+        st[12] = jnp.where(fill, ctz0, st[12])
+        st[13] = zf(st[13])  # centry
+        for k in (14, 15, 16):  # fcell
+            st[k] = zi(st[k])
+        for k in range(17, 26):  # ftx..fpz
+            st[k] = zf(st[k])
+        for k in (26, 27, 28, 29):  # fpads, fsteps
+            st[k] = zi(st[k])
+        for k in range(30, 42):  # cn, fn, po, no
+            st[k] = zf(st[k])
+        st[42] = zi(st[42])  # pmeta
+        st[43] = zi(st[43])  # bslot
+        st[44] = jnp.where(fill, nol, st[44])  # want
+        st = tuple(st)
+
+        env = (sx, sy, sz, dx, dy, dz,
+               stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
+               padxf, padyf, padzf, macro, macro_row0, macro2_words)
+
+        # ---- line-cache DMA round (identical to the tile kernel) ----
+        act2, want = st[0], st[-1]
+        active = act2 != 0
+        lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+        sub8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
+        stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
+        res = jnp.zeros(stalled_want.shape, jnp.bool_)
+        for s in range(S):
+            res = res | (stalled_want == tags_ref[0, s])
+        stalled_want = jnp.where(res, NOLINE, stalled_want)
+        rr0 = rr_ref[0]
+        for _k in range(dma_per_round):
+            miss = jnp.min(stalled_want)
+
+            @pl.when((miss != NOLINE) & (miss < NR))
+            def _():
+                slot = (rr0 + _k) % S
+                pltpu.make_async_copy(
+                    regions_hbm.at[pl.ds(miss * 8, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sems_ref.at[_k],
+                ).start()
+
+            @pl.when((miss != NOLINE) & (miss >= NR))
+            def _():
+                slot = (rr0 + _k) % S
+                pltpu.make_async_copy(
+                    bricks_hbm.at[pl.ds((miss - NR) * 8, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sems_ref.at[_k],
+                ).start()
+
+            @pl.when(miss != NOLINE)
+            def _():
+                slot = (rr0 + _k) % S
+                tags_ref[:] = jnp.where(
+                    (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
+                )
+                started_ref[_k] = 1
+
+            stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
+        for _k in range(dma_per_round):
+            @pl.when(started_ref[_k] == 1)
+            def _():
+                slot = (rr0 + _k) % S
+                pltpu.make_async_copy(
+                    regions_hbm.at[pl.ds(0, 8), :],
+                    cache_ref.at[pl.ds(slot * 8, 8), :],
+                    sems_ref.at[_k],
+                ).wait()
+                rr_ref[0] = rr_ref[0] + 1
+                started_ref[_k] = 0
+
+        # ---- inner steps ----
+        cache = cache_ref[:]
+        tag_vals = tuple(tags_ref[0, s] for s in range(S))
+        st = jax.lax.fori_loop(
+            0, inner_steps, lambda i, c: inner(env, cache, tag_vals, c), st,
+            unroll=False,
+        )
+        return (it + 1, qpos) + (sx, sy, sz, dx, dy, dz, padxf, padyf, padzf,
+                                 zeroi) + st
+
+    env0 = (zero, zero, zero, zero, zero, zero, zeroi, zeroi, zeroi, zeroi)
+    state0 = (zeroi,) * 7 + (zeroi,) * 3 + (zero,) * 3 + (zero,) + \
+        (zeroi,) * 3 + (zero,) * 9 + (zeroi,) * 4 + (zero,) * 12 + \
+        (zeroi, zeroi, jnp.full((R, 128), NOLINE, I32))
+    init = (jnp.int32(0), jnp.int32(0)) + env0 + state0
+
+    iter_limit = (n_rows + R) * (2 * max_steps + 64) // R // max(inner_steps, 1) + 64
+
+    def cond(c):
+        return (c[0] < iter_limit) & (jnp.any(c[12] != 0) | (c[1] < n_rows))
+
+    out = jax.lax.while_loop(cond, outer_body, init)
+    st = out[12:]
+
+    # final sweep: rows that finished on the last iteration
+    for g in range(R):
+        @pl.when(rowid_ref[g] >= 0)
+        def _(g=g):
+            retire_row(g, st)
+            rowid_ref[g] = -1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_steps", "rows_inflight", "num_slots", "inner_steps",
+        "dma_per_round", "use_macro", "interpret",
+    ),
+)
+def trace_brickmap_hbm_rr(
+    bm: BrickMap,
+    lt: LineTable,
+    origins,
+    rays,
+    max_steps: int = MAX_STEPS,
+    rows_inflight: int = 16,
+    num_slots: int = 16,
+    inner_steps: int = 8,
+    dma_per_round: int = 4,
+    use_macro: bool = True,
+    interpret: bool | None = None,
+) -> TraceOut:
+    """Row-retirement variant of :func:`trace_brickmap_hbm` (see the
+    kernel comment): identical semantics, different scheduling — finished
+    128-ray rows retire individually and are replaced from the queue, so
+    no ray waits on a whole tile's slowest straggler."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    gx, gy, gz = bm.grid_dims
+    f = bm.factor
+    gdims = jnp.asarray([gx, gy, gz], I32)
+
+    origins = jnp.asarray(origins, F32)
+    d = _normalize(jnp.asarray(rays, F32))
+    n = origins.shape[0]
+
+    start_c = origins / F32(f)
+    inside = jnp.all((start_c >= 0.0) & (start_c < gdims.astype(F32)), axis=-1)
+    eps = jnp.float32(FLT_EPS_DDA)
+    whit, _, wpt, wnrm = ray_aabb(
+        start_c, d, jnp.full((3,), eps), gdims.astype(F32) - eps
+    )
+    start_c = jnp.where(inside[:, None], start_c, jnp.where(whit[:, None], wpt, start_c))
+    start_normal = jnp.where(inside[:, None], 0.0, wnrm)
+    active0 = (inside | whit).astype(I32)
+    pad = _edge_pad(start_c.astype(I32), gdims, d)
+
+    padn = (-n) % 128
+    def pad1(a, fill=0):
+        if padn:
+            a = jnp.concatenate([a, jnp.full((padn,), fill, a.dtype)])
+        return a.reshape(-1, 128)
+
+    biti = lambda v: jax.lax.bitcast_convert_type(v, I32)  # noqa: E731
+    fields = [
+        biti(pad1(start_c[:, 0])), biti(pad1(start_c[:, 1])),
+        biti(pad1(start_c[:, 2])),
+        biti(pad1(d[:, 0], 1.0)), biti(pad1(d[:, 1], 1.0)),
+        biti(pad1(d[:, 2], 1.0)),
+        pad1(active0), pad1(pad[:, 0]), pad1(pad[:, 1]), pad1(pad[:, 2]),
+    ]
+    n_rows = fields[0].shape[0]
+    zero_rows = jnp.zeros((n_rows, 128), I32)
+    packed = jnp.stack(fields + [zero_rows] * 6, axis=1)  # [n_rows, 16, 128]
+    rays_flat = packed.reshape(n_rows * 16, 128)
+
+    R = rows_inflight
+    kern = functools.partial(
+        _rr_kernel,
+        grid_dims=(gx, gy, gz),
+        region_dims=lt.region_dims,
+        num_regions=lt.num_regions,
+        factor=f,
+        wpb=bm.words_per_brick,
+        max_steps=max_steps,
+        num_slots=num_slots,
+        inner_steps=inner_steps,
+        dma_per_round=dma_per_round,
+        use_macro=use_macro,
+        brick_layout=bm.brick_layout,
+        n_rows=n_rows,
+        R=R,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_rows * 8, 128), I32),
+        scratch_shapes=[
+            pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
+            pltpu.VMEM((8, 128), I32),  # tags
+            pltpu.SMEM((2,), I32),  # cache round-robin
+            pltpu.SMEM((max(dma_per_round, 1),), I32),  # in-flight flags
+            pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
+            pltpu.VMEM((16, 128), I32),  # ray refill stage
+            pltpu.VMEM((8, 128), I32),  # output stage
+            pltpu.SMEM((R,), I32),  # rowid per slot
+            pltpu.SemaphoreType.DMA((2,)),  # refill / writeback
+        ],
+        interpret=interpret,
+    )(lt.macro, lt.macro2, rays_flat, lt.region_lines, brick_lines_view(bm))
+
+    o = out.reshape(n_rows, 8, 128)
+    bitf = lambda v: jax.lax.bitcast_convert_type(v, F32)  # noqa: E731
+    flags = o[:, 0].reshape(-1)[:n]
+    hit = (flags & 1) == 1
+    hit_imm = (flags & 2) == 2
+    pos = jnp.stack([bitf(o[:, k]).reshape(-1)[:n] for k in (1, 2, 3)], axis=-1)
+    nrm = jnp.stack([bitf(o[:, k]).reshape(-1)[:n] for k in (4, 5, 6)], axis=-1)
+    steps = o[:, 7].reshape(-1)[:n]
+    pos = jnp.where(hit_imm[:, None], start_c * F32(f), pos)
+    nrm = jnp.where(hit_imm[:, None], start_normal, nrm)
+    return TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
