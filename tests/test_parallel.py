@@ -32,9 +32,13 @@ def test_sharded_render_matches_single(small_world, mesh):
 
     bmr = replicate_world(mesh, bm)
     fb = jax.device_put(make_framebuffer(cfg), NamedSharding(mesh, P("rows")))
-    fb = render_frame_sharded(bmr, fb, origin, euler, env, jnp.int32(1), cfg, mesh)
-    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(1), cfg)
-    assert np.array_equal(np.asarray(fb), np.asarray(ref))
+    ref = make_framebuffer(cfg)
+    # both checkerboard parities: even frames write y = 2y' + 2 across
+    # device-block boundaries (the one-row halo covers them)
+    for i in range(2):
+        fb = render_frame_sharded(bmr, fb, origin, euler, env, jnp.int32(i), cfg, mesh)
+        ref = render_frame(bm, ref, origin, euler, env, jnp.int32(i), cfg)
+        assert np.array_equal(np.asarray(fb), np.asarray(ref)), f"frame {i}"
     # really sharded: 8 addressable shards
     assert len(fb.addressable_shards) == 8
 

@@ -76,9 +76,18 @@ def render_frame_sharded(
     def tile(bm, fb_block, origin, euler, env, frame_number):
         dev = jax.lax.axis_index("rows")
         row0 = dev * rows_local
-        xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows_local), indexing="xy")
+        # one-row halo: the checkerboard remap y = 2y' + (x even) + (frame
+        # even) can target y = 2y' + 2, i.e. the row pair BELOW y' — which
+        # belongs to the next device when y' is a block's last row.  Each
+        # device therefore also computes its upper neighbour's last
+        # pre-remap row (zero communication, 1/rows_local extra compute)
+        # and masks rays with no in-frame source (y' < 0).
+        halo = 1 if cfg.checkerboard else 0
+        xg, yg = jnp.meshgrid(
+            jnp.arange(W), jnp.arange(rows_local + halo) - halo, indexing="xy"
+        )
         px = xg.reshape(-1)
-        py_r = yg.reshape(-1) + row0  # global pre-remap row
+        py_r = yg.reshape(-1) + row0  # global pre-remap row (may be -1)
         if cfg.checkerboard:
             py = (
                 py_r * 2
@@ -105,7 +114,8 @@ def render_frame_sharded(
         # local scatter: this device owns fb rows [dev*H/n, (dev+1)*H/n)
         y_local = py - dev * (H // n)
         hloc = fb_block.shape[0]
-        y_w = jnp.where(write & (y_local >= 0) & (y_local < hloc), y_local, hloc)
+        ok = write & (py_r >= 0) & (y_local >= 0) & (y_local < hloc)
+        y_w = jnp.where(ok, y_local, hloc)
         return fb_block.at[y_w, px].set(color, mode="drop")
 
     fb = jax.shard_map(
