@@ -94,16 +94,19 @@ def main():
 
     import os
     sweep = os.environ.get("SWEEP", "1024,16,8,4")
+    sl = int(os.environ.get("SHORTLIST", "2"))
     for part in sweep.split():
         vals = [int(v) for v in part.split(",")]
         tile, ns, istp, dpr = vals[:4]
-        kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr)
+        kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr,
+                  shortlist=sl)
         if "--rr" in sys.argv:
             from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_rr
 
             fn = lambda: trace_brickmap_hbm_rr(
                 bm, lt, o, d, 2048, rows_inflight=tile // 128,
                 num_slots=ns, inner_steps=istp, dma_per_round=dpr,
+                shortlist=sl,
             )
         elif len(vals) >= 6 and vals[4] > 0:  # tile,ns,istp,dpr,stage,frac
             fn = lambda: trace_brickmap_hbm_staged(
@@ -115,12 +118,21 @@ def main():
         out = fn()
         out.hit.block_until_ready()
         t_first = time.perf_counter() - t0
+        # byte-identical repeated dispatches short-circuit in this
+        # environment (NOTES_ROUND3.md): jitter origins per rep and end
+        # with a value readback
         reps = 3
+        o_base = o
+        jit_os = [o + jnp.float32(1e-4) * (k + 1) for k in range(reps)]
+        for jo in jit_os:
+            jo.block_until_ready()
         t0 = time.perf_counter()
-        for _ in range(reps):
+        for k in range(reps):
+            o = jit_os[k]
             out = fn()
-        out.hit.block_until_ready()
+        _ = float(jnp.sum(out.steps))
         dt = (time.perf_counter() - t0) / reps
+        o = o_base
         hit = np.asarray(out.hit)
         steps = np.asarray(out.steps)
         print(f"bigtrace[{part}]: {dt*1000:.1f} ms for {n_rays} rays -> "

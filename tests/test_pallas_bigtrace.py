@@ -49,14 +49,14 @@ def _assert_match(out, ref, atol=0.0):
     ), "normal mismatch"
 
 
-@pytest.mark.parametrize("use_macro", [False, True])
-def test_bigtrace_matches_xla_random_world(rng, use_macro):
+@pytest.mark.parametrize("use_macro,shortlist", [(False, 2), (True, 0), (True, 1), (True, 2)])
+def test_bigtrace_matches_xla_random_world(rng, use_macro, shortlist):
     bm = _world(rng)
     lt = make_line_table(bm)
     origins, rays = _rays(rng, 256, bm.world_dims)
     ref = trace_brickmap(bm, origins, rays, 256)
     out = trace_brickmap_hbm(
-        bm, lt, origins, rays, 256,
+        bm, lt, origins, rays, 256, shortlist=shortlist,
         tile=256, num_slots=4, use_macro=use_macro, interpret=True,
     )
     if use_macro:

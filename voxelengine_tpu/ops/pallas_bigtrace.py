@@ -278,6 +278,7 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     static_argnames=(
         "max_steps", "stage_steps", "tail_frac",
         "tile", "num_slots", "inner_steps", "dma_per_round", "use_macro",
+        "shortlist",
     ),
 )
 def trace_brickmap_hbm_staged(
@@ -293,6 +294,7 @@ def trace_brickmap_hbm_staged(
     inner_steps: int = 8,
     dma_per_round: int = 4,
     use_macro: bool = True,
+    shortlist: int = 2,
 ) -> TraceOut:
     """Straggler-compacted HBM trace: the Pallas analog of
     :func:`voxelengine_tpu.ops.trace.trace_brickmap_staged`.
@@ -312,7 +314,7 @@ def trace_brickmap_hbm_staged(
     """
     kw = dict(
         tile=tile, num_slots=num_slots, inner_steps=inner_steps,
-        dma_per_round=dma_per_round, use_macro=use_macro,
+        dma_per_round=dma_per_round, use_macro=use_macro, shortlist=shortlist,
     )
     origins = jnp.asarray(origins, F32)
     rays = jnp.asarray(rays, F32)
@@ -416,12 +418,100 @@ def _fetch_static(line, row, lane):
     return out
 
 
+def _make_fetch_full(cache_ref, tags_smem, *, S):
+    """Round-2 fetch: per-ray cache-slot resolve (S-way tag scan) + the
+    S-way unrolled pair-gather of :func:`_fetch_pass`, every iteration.
+    Kept as the ``shortlist=0`` reference scheduler."""
+    cache = cache_ref[:]
+    tag_vals = tuple(tags_smem[s] for s in range(S))
+
+    def fetch(row, lane, want_new):
+        R = row.shape[0]
+        cslot = jnp.full((R, 128), -1, I32)
+        for s in range(S):
+            cslot = jnp.where(want_new == tag_vals[s], s, cslot)
+        word = _fetch_pass(cache, cslot, row, lane, S)
+        return word, cslot >= 0
+
+    return fetch
+
+
+def _stage_shortlist(cache_ref, tags_smem, cand_ref, act, want, rot, *, S, K):
+    """Per-group slot-shortlist fetch (the round-3 fetch-cost unlock,
+    NOTES_ROUND3.md item 1; enabling primitive probe-verified in
+    ``experiments/probe_mosaic_r3a.py`` / ``r3b``).
+
+    Once per outer DMA round: resolve each ray's wanted line to a cache
+    slot (one S-way tag scan), vote per 128-ray group the min (and for
+    ``K>=2`` the max) wanted slot via lane-axis reductions, stage the
+    voted slots as scalars through a VMEM scratch, and *hoist the
+    candidate line loads out of the hot loop* — each group keeps K
+    register-resident ``[8,128]`` lines (dynamic-offset VMEM loads) plus
+    one shared *rotating* slot (``rot`` cycles 0..S-1 per round), which
+    guarantees every resident slot is served at least once every S rounds
+    (hard progress bound; staleness can stall rays, never strand them).
+
+    The returned per-iteration fetch is then K+1 scalar-tag compares +
+    pair-gathers per group — independent of S, so the cache can grow
+    (S=32+) without touching the hot-loop cost.  Rays whose want is not
+    on the shortlist stall exactly like DMA misses (the kernel's stall
+    path is semantics-preserving), so results are unchanged.
+    """
+    R = want.shape[0]
+    cslot = jnp.full((R, 128), -1, I32)
+    for s in range(S):
+        cslot = jnp.where(want == tags_smem[s], s, cslot)
+    valid = (cslot >= 0) & (act != 0)
+    # K distinct candidates per group by iterated masked min (ascending);
+    # exhausted groups vote the sentinel S (clamped + tag-gated below)
+    vals = jnp.where(valid, cslot, S)
+    for k in range(K):
+        ck = jnp.min(vals, axis=1, keepdims=True)  # (R, 1)
+        cand_ref[k * R : (k + 1) * R, :] = jnp.broadcast_to(ck, (R, 128))
+        if k + 1 < K:
+            vals = jnp.where(vals <= ck, S, vals)
+    t_rot = tags_smem[rot]
+    l_rot = cache_ref[pl.ds(rot * 8, 8), :]
+    pergroup = []
+    for g in range(R):
+        cands = []
+        for k in range(K):
+            sk = jnp.minimum(cand_ref[k * R + g, 0], S - 1)
+            cands.append((tags_smem[sk], cache_ref[pl.ds(sk * 8, 8), :]))
+        cands.append((t_rot, l_rot))
+        pergroup.append(cands)
+
+    def fetch(row, lane, want_new):
+        # bool vectors don't survive Mosaic select at these shapes
+        # (i8->i1 trunci): carry served as i32 0/1
+        sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        out = jnp.zeros((R, 128), I32)
+        served = jnp.zeros((R, 128), I32)
+        for g in range(R):
+            lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
+            row_rep = jnp.broadcast_to(row[g, :][None, :], (8, 128))
+            wg = want_new[g, :][None, :]
+            acc = jnp.zeros((1, 128), I32)
+            srv = jnp.zeros((1, 128), I32)
+            for tag, line in pergroup[g]:
+                y = jnp.take_along_axis(line, lane_rep, axis=1)
+                z = jnp.take_along_axis(y, row_rep, axis=0)
+                m = wg == tag
+                acc = jnp.where(m, z[0:1, :], acc)
+                srv = jnp.where(m, 1, srv)
+            out = jnp.where(sub == g, jnp.broadcast_to(acc, (R, 128)), out)
+            served = jnp.where(
+                sub == g, jnp.broadcast_to(srv, (R, 128)), served
+            )
+        return out, served != 0
+
+    return fetch
 
 
 def _trace_inner(
-    env, cache, tag_vals, carry, *,
+    env, fetch, carry, *,
     grid_dims, region_dims, num_regions, factor, wpb,
-    max_steps, num_slots, use_macro, brick_layout,
+    max_steps, use_macro, brick_layout,
 ):
     """One DDA event for every ray in the working set — the shared hot
     loop body of the tile kernel and the row-retirement kernel.  ``env``
@@ -434,7 +524,6 @@ def _trace_inner(
     RX, RY, RZ = region_dims
     SRX, SRY = -(-RX // 4), -(-RY // 4)
     f = factor
-    S = num_slots
     NR = num_regions
     R = sx.shape[0]
     if brick_layout is Layout.LINEAR:
@@ -455,7 +544,7 @@ def _trace_inner(
      fpadx, fpady, fpadz, fsteps,
      cnx, cny, cnz, fnx, fny, fnz,
      pox, poy, poz, nox, noy, noz,
-     pmeta, bslot, want) = carry
+     pmeta, bslot, want, hwid, hword) = carry
     active = act != 0
     in_fine = fine != 0
     pending = pend != 0
@@ -510,8 +599,14 @@ def _trace_inner(
         jnp.clip(fcz, 0, f - 1),
     )  # also the fine occupancy bit below
     w_glob = jnp.where(fine_phase, bslot * wpb + (bit >> 5), 0)
+    # word-carry: a fetched brick word covers a whole voxel row (32 x-cells
+    # LINEAR / 8x4x1 TILED), and the world is static during a trace, so a
+    # ray holding the word it needs is served from the register — no cache
+    # fetch, no DMA pressure, no shortlist pressure.  hwid is the held
+    # word's global brick-word id (-1 = none); never goes stale.
+    have = fine_phase & (hwid == w_glob)
     want_new = jnp.where(
-        fine_phase,
+        fine_phase & ~have,
         NR + (w_glob >> 10),
         jnp.where(
             (coarse_phase & in_range_c & region_occ) | pend_phase,
@@ -526,12 +621,11 @@ def _trace_inner(
     )
     lane = jnp.where(fine_phase, w_glob & 127, meta_lane)
 
-    cslot = jnp.full((R, 128), -1, I32)
-    for s in range(S):
-        cslot = jnp.where(want_new == tag_vals[s], s, cslot)
-    resident = cslot >= 0
-    served = resident & (want_new != NOLINE)
-    word = _fetch_pass(cache, cslot, row, lane, S)
+    # want_new == NOLINE never matches a tag (tags are -1 or real line
+    # ids), so `served` is automatically false on no-fetch lanes
+    word, served = fetch(row, lane, want_new)
+    word = jnp.where(have, hword, word)
+    served = served | have
 
     in_range_f = (
         (fcx >= 0) & (fcx < f + fpadx)
@@ -759,6 +853,12 @@ def _trace_inner(
     # pend rays carry the meta word; slot word becomes the brick slot
     npmeta = jnp.where(to_pend, word, pmeta)
     nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
+    # refresh the held brick word on any served fine lane (hword is the
+    # true word for hwid, so rewriting identical data on `have` lanes is
+    # a no-op)
+    upd_h = fine_phase & served
+    nhwid = jnp.where(upd_h, w_glob, hwid)
+    nhword = jnp.where(upd_h, word, hword)
 
     # next-iteration want (for the outer DMA round): recompute cheaply
     # from the POST state — stalled rays keep their want
@@ -776,7 +876,66 @@ def _trace_inner(
             nfpadx, nfpady, nfpadz, nfsteps,
             ncnx, ncny, ncnz, nfnx, nfny, nfnz,
             npox, npoy, npoz, nnox, nnoy, nnoz,
-            npmeta, nbslot, nwant)
+            npmeta, nbslot, nwant, nhwid, nhword)
+
+def _run_dma_round(
+    cache_ref, tags_smem, rr_ref, started_ref, sems_ref,
+    regions_hbm, bricks_hbm, act, want, *, S, NR, dma_per_round,
+):
+    """One line-cache DMA round (shared by the tile and RR kernels): start
+    up to ``dma_per_round`` missing-line copies concurrently (misses are
+    voted: min wanted non-resident line id), then wait once so latency
+    overlaps across the misses.  Tags live in SMEM (scalar per slot)."""
+    active = act != 0
+    stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
+    res = jnp.zeros(stalled_want.shape, jnp.bool_)
+    for s in range(S):
+        res = res | (stalled_want == tags_smem[s])
+    stalled_want = jnp.where(res, NOLINE, stalled_want)
+    rr0 = rr_ref[0]
+    for _k in range(dma_per_round):
+        miss = jnp.min(stalled_want)
+
+        # unified line id space, two source tables: region records (< NR,
+        # from the small side table) and brick lines (>= NR, read through
+        # the zero-copy view of the brickmap itself)
+        @pl.when((miss != NOLINE) & (miss < NR))
+        def _():
+            slot = (rr0 + _k) % S
+            pltpu.make_async_copy(
+                regions_hbm.at[pl.ds(miss * 8, 8), :],
+                cache_ref.at[pl.ds(slot * 8, 8), :],
+                sems_ref.at[_k],
+            ).start()
+
+        @pl.when((miss != NOLINE) & (miss >= NR))
+        def _():
+            slot = (rr0 + _k) % S
+            pltpu.make_async_copy(
+                bricks_hbm.at[pl.ds((miss - NR) * 8, 8), :],
+                cache_ref.at[pl.ds(slot * 8, 8), :],
+                sems_ref.at[_k],
+            ).start()
+
+        @pl.when(miss != NOLINE)
+        def _():
+            slot = (rr0 + _k) % S
+            tags_smem[slot] = miss
+            started_ref[_k] = 1
+
+        stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
+    for _k in range(dma_per_round):
+        @pl.when(started_ref[_k] == 1)
+        def _():
+            slot = (rr0 + _k) % S
+            pltpu.make_async_copy(
+                regions_hbm.at[pl.ds(0, 8), :],
+                cache_ref.at[pl.ds(slot * 8, 8), :],
+                sems_ref.at[_k],
+            ).wait()
+            rr_ref[0] = rr_ref[0] + 1
+            started_ref[_k] = 0
+
 
 def _bigtrace_kernel(
     macro_ref,
@@ -788,7 +947,7 @@ def _bigtrace_kernel(
     bricks_hbm,
     hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
     iters_ref,
-    cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
+    cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref,
     *,
     grid_dims,
     region_dims,
@@ -801,6 +960,7 @@ def _bigtrace_kernel(
     dma_per_round: int,
     use_macro: bool,
     brick_layout: Layout,
+    shortlist: int,
 ):
     GX, GY, GZ = grid_dims
     RX, RY, RZ = region_dims
@@ -813,7 +973,8 @@ def _bigtrace_kernel(
     # cache bookkeeping persists across the ray-tile grid; init once
     @pl.when(pl.program_id(0) == 0)
     def _():
-        tags_ref[:] = jnp.full((8, 128), -1, I32)
+        for s in range(S):
+            tags_smem[s] = -1
         rr_ref[0] = 0
         for _k in range(dma_per_round):
             started_ref[_k] = 0
@@ -861,76 +1022,32 @@ def _bigtrace_kernel(
     inner = functools.partial(
         _trace_inner,
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
-        factor=factor, wpb=wpb, max_steps=max_steps, num_slots=num_slots,
+        factor=factor, wpb=wpb, max_steps=max_steps,
         use_macro=use_macro, brick_layout=brick_layout,
     )
 
     def outer_body(carry):
         it = carry[0]
         st = carry[1:]
-        act, want = st[0], st[-1]
-        active = act != 0
+        act, want = st[0], st[44]
 
-        # ---- DMA round: start up to dma_per_round missing-line copies
-        # concurrently, then wait once (latency overlaps across misses) ----
-        lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
-        sub8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
-        stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
-        res = jnp.zeros(stalled_want.shape, jnp.bool_)
-        for s in range(S):
-            res = res | (stalled_want == tags_ref[0, s])
-        stalled_want = jnp.where(res, NOLINE, stalled_want)
-        rr0 = rr_ref[0]
-        for _k in range(dma_per_round):
-            miss = jnp.min(stalled_want)
+        _run_dma_round(
+            cache_ref, tags_smem, rr_ref, started_ref, sems_ref,
+            regions_hbm, bricks_hbm, act, want,
+            S=S, NR=NR, dma_per_round=dma_per_round,
+        )
 
-            # unified line id space, two source tables: region records
-            # (< NR, from the small side table) and brick lines (>= NR,
-            # read through the zero-copy view of the brickmap itself)
-            @pl.when((miss != NOLINE) & (miss < NR))
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    regions_hbm.at[pl.ds(miss * 8, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).start()
-
-            @pl.when((miss != NOLINE) & (miss >= NR))
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    bricks_hbm.at[pl.ds((miss - NR) * 8, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).start()
-
-            @pl.when(miss != NOLINE)
-            def _():
-                slot = (rr0 + _k) % S
-                tags_ref[:] = jnp.where(
-                    (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
-                )
-                started_ref[_k] = 1
-
-            stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
-        for _k in range(dma_per_round):
-            @pl.when(started_ref[_k] == 1)
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    regions_hbm.at[pl.ds(0, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).wait()
-                rr_ref[0] = rr_ref[0] + 1
-                started_ref[_k] = 0
-
-        # ---- inner steps (tag scalars hoisted out of the hot loop) ----
-        cache = cache_ref[:]
-        tag_vals = tuple(tags_ref[0, s] for s in range(S))
+        # ---- inner steps (fetch staging hoisted out of the hot loop) ----
+        if shortlist:
+            rot = jax.lax.rem(it, jnp.int32(S))
+            fetch = _stage_shortlist(
+                cache_ref, tags_smem, cand_ref, act, want, rot,
+                S=S, K=shortlist,
+            )
+        else:
+            fetch = _make_fetch_full(cache_ref, tags_smem, S=S)
         st = jax.lax.fori_loop(
-            0, inner_steps, lambda i, c: inner(env, cache, tag_vals, c), st,
+            0, inner_steps, lambda i, c: inner(env, fetch, c), st,
             unroll=False,
         )
         return (it + 1,) + st
@@ -943,10 +1060,13 @@ def _bigtrace_kernel(
             zeroi, zeroi, zeroi, zeroi,
             zero, zero, zero, zero, zero, zero,
             zero, zero, zero, zero, zero, zero,
-            zeroi, zeroi, jnp.full((R, 128), NOLINE, I32))
+            zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
+            jnp.full((R, 128), -1, I32), zeroi)
 
-    # generous iteration cap: 2*max_steps events + stall slack
-    iter_limit = (2 * max_steps + 64) // inner_steps + 64
+    # generous iteration cap: 2*max_steps events + stall slack (shortlist
+    # staleness stalls get extra headroom; the rotating candidate bounds
+    # any single stall at S rounds, and the cond exits early on inactive)
+    iter_limit = ((2 * max_steps + 64) // inner_steps + 64) * (4 if shortlist else 1)
 
     def outer_cond(c):
         return (c[0] < iter_limit) & jnp.any(c[1] != 0)
@@ -972,7 +1092,7 @@ def _bigtrace_kernel(
     jax.jit,
     static_argnames=(
         "max_steps", "tile", "num_slots", "inner_steps", "dma_per_round",
-        "use_macro", "interpret", "return_iters",
+        "use_macro", "interpret", "return_iters", "shortlist",
     ),
 )
 def trace_brickmap_hbm(
@@ -988,6 +1108,7 @@ def trace_brickmap_hbm(
     use_macro: bool = True,
     interpret: bool | None = None,
     return_iters: bool = False,
+    shortlist: int = 2,
 ) -> TraceOut:
     """Two-level brickmap trace through the HBM line table (see module doc).
 
@@ -997,6 +1118,11 @@ def trace_brickmap_hbm(
     per-ray diagnostic: the iteration count its kernel tile actually ran
     (lockstep + DMA-stall total; the per-tile analog of the reference's
     steps/256 heatmap, ``Renderer.cu:270-275``).
+
+    ``shortlist`` selects the fetch scheduler: 0 = round-2 S-way unrolled
+    fetch; K>0 = per-group slot shortlist with K voted candidates + a
+    rotating slot (see :func:`_stage_shortlist`) — identical results,
+    fetch cost independent of ``num_slots``.
     """
     if interpret is None:
         # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
@@ -1062,6 +1188,7 @@ def trace_brickmap_hbm(
         dma_per_round=dma_per_round,
         use_macro=use_macro,
         brick_layout=bm.brick_layout,
+        shortlist=shortlist,
     )
     outs = pl.pallas_call(
         kern,
@@ -1073,10 +1200,11 @@ def trace_brickmap_hbm(
         + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)] * 2,
         scratch_shapes=[
             pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
-            pltpu.VMEM((8, 128), I32),  # tags (row 0, lane s)
+            pltpu.SMEM((num_slots,), I32),  # line tags (scalar per slot)
             pltpu.SMEM((2,), I32),  # round-robin counter
             pltpu.SMEM((max(dma_per_round, 1),), I32),  # in-flight flags
             pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
+            pltpu.VMEM((max(shortlist, 1) * rows_per_tile, 128), I32),  # votes
         ],
         interpret=interpret,
     )(lt.macro, lt.macro2, *ins, lt.region_lines, brick_lines_view(bm))
@@ -1109,17 +1237,19 @@ def _rr_kernel(
     macro_ref, macro2_ref,
     rays_hbm, regions_hbm, bricks_hbm,
     out_hbm,
-    cache_ref, tags_ref, rr_ref, started_ref, sems_ref,
-    ray_stage, out_stage, rowid_ref, stage_sems,
+    cache_ref, tags_smem, rr_ref, started_ref, sems_ref,
+    ray_stage, out_stage, rowid_ref, stage_sems, cand_ref,
     *,
     grid_dims, region_dims, num_regions: int, factor: int, wpb: int,
     max_steps: int, num_slots: int, inner_steps: int, dma_per_round: int,
     use_macro: bool, brick_layout: Layout, n_rows: int, R: int,
+    shortlist: int,
 ):
     S = num_slots
     NR = num_regions
 
-    tags_ref[:] = jnp.full((8, 128), -1, I32)
+    for s in range(S):
+        tags_smem[s] = -1
     rr_ref[0] = 0
     for _k in range(dma_per_round):
         started_ref[_k] = 0
@@ -1132,7 +1262,7 @@ def _rr_kernel(
     inner = functools.partial(
         _trace_inner,
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
-        factor=factor, wpb=wpb, max_steps=max_steps, num_slots=num_slots,
+        factor=factor, wpb=wpb, max_steps=max_steps,
         use_macro=use_macro, brick_layout=brick_layout,
     )
 
@@ -1279,70 +1409,33 @@ def _rr_kernel(
         st[42] = zi(st[42])  # pmeta
         st[43] = zi(st[43])  # bslot
         st[44] = jnp.where(fill, nol, st[44])  # want
+        st[45] = jnp.where(fill, -1, st[45])  # held word id
+        st[46] = zi(st[46])  # held word
         st = tuple(st)
 
         env = (sx, sy, sz, dx, dy, dz,
                stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
                padxf, padyf, padzf, macro, macro_row0, macro2_words)
 
-        # ---- line-cache DMA round (identical to the tile kernel) ----
-        act2, want = st[0], st[-1]
-        active = act2 != 0
-        lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
-        sub8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
-        stalled_want = jnp.where(active & (want != NOLINE), want, NOLINE)
-        res = jnp.zeros(stalled_want.shape, jnp.bool_)
-        for s in range(S):
-            res = res | (stalled_want == tags_ref[0, s])
-        stalled_want = jnp.where(res, NOLINE, stalled_want)
-        rr0 = rr_ref[0]
-        for _k in range(dma_per_round):
-            miss = jnp.min(stalled_want)
-
-            @pl.when((miss != NOLINE) & (miss < NR))
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    regions_hbm.at[pl.ds(miss * 8, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).start()
-
-            @pl.when((miss != NOLINE) & (miss >= NR))
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    bricks_hbm.at[pl.ds((miss - NR) * 8, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).start()
-
-            @pl.when(miss != NOLINE)
-            def _():
-                slot = (rr0 + _k) % S
-                tags_ref[:] = jnp.where(
-                    (sub8 == 0) & (lanes8 == slot), miss, tags_ref[:]
-                )
-                started_ref[_k] = 1
-
-            stalled_want = jnp.where(stalled_want == miss, NOLINE, stalled_want)
-        for _k in range(dma_per_round):
-            @pl.when(started_ref[_k] == 1)
-            def _():
-                slot = (rr0 + _k) % S
-                pltpu.make_async_copy(
-                    regions_hbm.at[pl.ds(0, 8), :],
-                    cache_ref.at[pl.ds(slot * 8, 8), :],
-                    sems_ref.at[_k],
-                ).wait()
-                rr_ref[0] = rr_ref[0] + 1
-                started_ref[_k] = 0
+        # ---- line-cache DMA round (shared with the tile kernel) ----
+        act2, want = st[0], st[44]
+        _run_dma_round(
+            cache_ref, tags_smem, rr_ref, started_ref, sems_ref,
+            regions_hbm, bricks_hbm, act2, want,
+            S=S, NR=NR, dma_per_round=dma_per_round,
+        )
 
         # ---- inner steps ----
-        cache = cache_ref[:]
-        tag_vals = tuple(tags_ref[0, s] for s in range(S))
+        if shortlist:
+            rot = jax.lax.rem(it, jnp.int32(S))
+            fetch = _stage_shortlist(
+                cache_ref, tags_smem, cand_ref, act2, want, rot,
+                S=S, K=shortlist,
+            )
+        else:
+            fetch = _make_fetch_full(cache_ref, tags_smem, S=S)
         st = jax.lax.fori_loop(
-            0, inner_steps, lambda i, c: inner(env, cache, tag_vals, c), st,
+            0, inner_steps, lambda i, c: inner(env, fetch, c), st,
             unroll=False,
         )
         return (it + 1, qpos) + (sx, sy, sz, dx, dy, dz, padxf, padyf, padzf,
@@ -1351,10 +1444,13 @@ def _rr_kernel(
     env0 = (zero, zero, zero, zero, zero, zero, zeroi, zeroi, zeroi, zeroi)
     state0 = (zeroi,) * 7 + (zeroi,) * 3 + (zero,) * 3 + (zero,) + \
         (zeroi,) * 3 + (zero,) * 9 + (zeroi,) * 4 + (zero,) * 12 + \
-        (zeroi, zeroi, jnp.full((R, 128), NOLINE, I32))
+        (zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
+         jnp.full((R, 128), -1, I32), zeroi)
     init = (jnp.int32(0), jnp.int32(0)) + env0 + state0
 
-    iter_limit = (n_rows + R) * (2 * max_steps + 64) // R // max(inner_steps, 1) + 64
+    iter_limit = (
+        (n_rows + R) * (2 * max_steps + 64) // R // max(inner_steps, 1) + 64
+    ) * (4 if shortlist else 1)
 
     def cond(c):
         return (c[0] < iter_limit) & (jnp.any(c[12] != 0) | (c[1] < n_rows))
@@ -1374,7 +1470,7 @@ def _rr_kernel(
     jax.jit,
     static_argnames=(
         "max_steps", "rows_inflight", "num_slots", "inner_steps",
-        "dma_per_round", "use_macro", "interpret",
+        "dma_per_round", "use_macro", "interpret", "shortlist",
     ),
 )
 def trace_brickmap_hbm_rr(
@@ -1389,6 +1485,7 @@ def trace_brickmap_hbm_rr(
     dma_per_round: int = 4,
     use_macro: bool = True,
     interpret: bool | None = None,
+    shortlist: int = 2,
 ) -> TraceOut:
     """Row-retirement variant of :func:`trace_brickmap_hbm` (see the
     kernel comment): identical semantics, different scheduling — finished
@@ -1450,6 +1547,7 @@ def trace_brickmap_hbm_rr(
         brick_layout=bm.brick_layout,
         n_rows=n_rows,
         R=R,
+        shortlist=shortlist,
     )
     out = pl.pallas_call(
         kern,
@@ -1465,7 +1563,7 @@ def trace_brickmap_hbm_rr(
         out_shape=jax.ShapeDtypeStruct((n_rows * 8, 128), I32),
         scratch_shapes=[
             pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
-            pltpu.VMEM((8, 128), I32),  # tags
+            pltpu.SMEM((num_slots,), I32),  # line tags (scalar per slot)
             pltpu.SMEM((2,), I32),  # cache round-robin
             pltpu.SMEM((max(dma_per_round, 1),), I32),  # in-flight flags
             pltpu.SemaphoreType.DMA((max(dma_per_round, 1),)),
@@ -1473,6 +1571,7 @@ def trace_brickmap_hbm_rr(
             pltpu.VMEM((8, 128), I32),  # output stage
             pltpu.SMEM((R,), I32),  # rowid per slot
             pltpu.SemaphoreType.DMA((2,)),  # refill / writeback
+            pltpu.VMEM((max(shortlist, 1) * R, 128), I32),  # shortlist votes
         ],
         interpret=interpret,
     )(lt.macro, lt.macro2, rays_flat, lt.region_lines, brick_lines_view(bm))
