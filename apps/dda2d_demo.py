@@ -66,6 +66,31 @@ def main():
         x1, y1 = cx * f + bmax[ci][0], cy * f + bmax[ci][1]
         img[y0 : y1 + 1, [x0, x1]] = (160, 60, 160)
         img[[y0, y1], x0 : x1 + 1] = (160, 60, 160)
+    # ray segments (blue polylines origin->hit/border, DDATestCpp.cpp:563-578):
+    # rasterize a subsample by parametric sampling — vectorized over all
+    # drawn rays x sample points, no per-ray Python loop
+    draw = np.linspace(0, args.rays - 1, min(args.rays, 256)).astype(int)
+    seg_o = np.asarray(origins)[draw]
+    seg_d = np.asarray(rays)[draw]
+    seg_hit = np.asarray(out.hit)[draw]
+    seg_end = np.asarray(out.position)[draw]
+    # unhit rays draw to the world border: first positive t leaving [0,W]^2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tb = np.stack([
+            (np.where(seg_d[:, 0] > 0, W, 0.0) - seg_o[:, 0]) / seg_d[:, 0],
+            (np.where(seg_d[:, 1] > 0, W, 0.0) - seg_o[:, 1]) / seg_d[:, 1],
+        ], -1)
+    t_end = np.where(
+        seg_hit,
+        np.linalg.norm(seg_end[:, :2] - seg_o[:, :2], axis=-1),
+        np.nanmin(np.where(tb > 0, tb, np.nan), axis=-1),
+    )
+    t_end = np.nan_to_num(t_end, nan=float(W))
+    smp = np.linspace(0.0, 1.0, 2 * W)[None, :, None]
+    line = seg_o[:, None, :2] + seg_d[:, None, :2] * (t_end[:, None, None] * smp)
+    lx = np.clip(line[..., 0].astype(int), 0, W - 1).ravel()
+    ly = np.clip(line[..., 1].astype(int), 0, W - 1).ravel()
+    img[ly, lx] = (70, 110, 255)
     pts = np.asarray(out.position)[hits]
     px = np.clip(pts[:, 0].astype(int), 0, W - 1)
     py = np.clip(pts[:, 1].astype(int), 0, W - 1)

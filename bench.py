@@ -22,7 +22,7 @@ Env knobs:
   BENCH_WORLD=small    use a 1024^3 world (quick sanity runs)
   BENCH_FRAMES=N       timed frames (default 8)
   BENCH_BACKEND=xla    use the round-1 staged XLA traversal instead
-  BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 8)
+  BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 16)
 """
 
 from __future__ import annotations
@@ -90,7 +90,7 @@ def main():
         width=1920, height=1080, checkerboard=True,
         tile_order=True,
         trace_tile=int(os.environ.get("BENCH_TILE", "2048")),
-        trace_slots=int(os.environ.get("BENCH_SLOTS", "8")),
+        trace_slots=int(os.environ.get("BENCH_SLOTS", "16")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley

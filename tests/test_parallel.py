@@ -43,6 +43,37 @@ def test_sharded_render_matches_single(small_world, mesh):
     assert len(fb.addressable_shards) == 8
 
 
+def test_sharded_render_hbm_kernel_matches_single(small_world, mesh):
+    """The flagship Pallas line-table traversal under the 8-device mesh
+    (interpret mode on CPU): sharded render == single-device render, both
+    tracing through trace_brickmap_hbm."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+
+    dense, _, _ = small_world
+    bm = build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR)
+    lt = make_line_table(bm)
+    env = Environment.default()
+    cfg = RenderConfig(width=64, height=32, checkerboard=True, tile_order=True,
+                       trace_tile=128, trace_slots=4)
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+    bmr = replicate_world(mesh, bm)
+    ltr = jax.device_put(lt, NamedSharding(mesh, P()))
+    fb = jax.device_put(make_framebuffer(cfg), NamedSharding(mesh, P("rows")))
+    ref = make_framebuffer(cfg)
+    for i in range(2):  # both checkerboard parities (halo row crossing)
+        fb = render_frame_sharded(
+            bmr, fb, origin, euler, env, jnp.int32(i), cfg, mesh, ltr
+        )
+        ref = render_frame(bm, ref, origin, euler, env, jnp.int32(i), cfg,
+                           None, lt)
+        assert np.array_equal(np.asarray(fb), np.asarray(ref)), f"frame {i}"
+    assert len(fb.addressable_shards) == 8
+
+
 def test_sharded_rays_match_and_psum(small_world, ray_batch, mesh):
     _, _, bm = small_world
     origins, rays = ray_batch

@@ -278,7 +278,7 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     static_argnames=(
         "max_steps", "stage_steps", "tail_frac",
         "tile", "num_slots", "inner_steps", "dma_per_round", "use_macro",
-        "shortlist",
+        "shortlist", "double_step",
     ),
 )
 def trace_brickmap_hbm_staged(
@@ -294,27 +294,34 @@ def trace_brickmap_hbm_staged(
     inner_steps: int = 8,
     dma_per_round: int = 4,
     use_macro: bool = True,
-    shortlist: int = 2,
+    shortlist: int = 0,
+    double_step: bool = True,
 ) -> TraceOut:
     """Straggler-compacted HBM trace: the Pallas analog of
     :func:`voxelengine_tpu.ops.trace.trace_brickmap_staged`.
 
     A kernel tile runs until its *slowest* ray finishes, and primary-ray
     path lengths are heavy-tailed (horizon tiles run 5-20x the mean), so a
-    single launch pays ~2x the mean in lockstep waste.  This wrapper runs
-    the kernel at a small step budget (``stage_steps``, sized near the
-    scene's p95), then gathers the budget-truncated rays into a dense
-    ``n/tail_frac`` buffer and retraces them from scratch at the full
-    budget — compacted stragglers fill tiles with uniformly-long rays, so
-    the tail pass wastes nothing.  Exact: a retrace from t=0 follows the
-    identical DDA path, and if survivors ever exceed the tail buffer a
-    ``lax.cond``-guarded full-width full-budget rescue pass (cost only
-    when triggered) finishes the rest — results always equal
-    :func:`trace_brickmap_hbm` at ``max_steps``.
+    single launch pays many x the mean in lockstep waste.  This wrapper
+    runs the kernel at a small step budget (``stage_steps``, sized near
+    the scene's p90-p95), then compacts the budget-truncated rays at
+    128-ray ROW granularity — any row containing a survivor is gathered
+    into a dense ``n/tail_frac`` buffer and retraced from scratch at the
+    full budget.  Row granularity keeps compaction off the TPU's slow
+    paths: selecting rows is an ``n/128``-element mask + ``flatnonzero``
+    (no 1M-ray ``argsort``, measured ~40 ms) and the gather/scatter move
+    contiguous 512 B rows.  The whole retraced row is merged back: rays
+    that already finished retrace to bit-identical results, so no lane
+    mask is needed.  Exact: a retrace from t=0 follows the identical DDA
+    path, and if surviving rows ever exceed the buffer a ``lax.cond``-
+    guarded full-width full-budget rescue pass (cost only when triggered)
+    finishes the rest — results always equal :func:`trace_brickmap_hbm`
+    at ``max_steps``.
     """
     kw = dict(
         tile=tile, num_slots=num_slots, inner_steps=inner_steps,
         dma_per_round=dma_per_round, use_macro=use_macro, shortlist=shortlist,
+        double_step=double_step,
     )
     origins = jnp.asarray(origins, F32)
     rays = jnp.asarray(rays, F32)
@@ -323,18 +330,37 @@ def trace_brickmap_hbm_staged(
     # budget-truncated rays: not hit and charged the full stage budget
     surv = ~out1.hit & (out1.steps >= stage_steps)
 
-    buf_n = min(n, max(tile, -(-n // tail_frac // tile) * tile))
-    order = jnp.argsort(~surv)[:buf_n]
-    sel = jnp.take(surv, order)
+    padn = (-n) % 128
+    nrows = (n + padn) // 128
+
+    def rows(a, fill=0):
+        if padn:
+            pad_width = ((0, padn),) + ((0, 0),) * (a.ndim - 1)
+            a = jnp.pad(a, pad_width, constant_values=fill)
+        return a.reshape((nrows, 128) + a.shape[1:])
+
+    surv_rows = jnp.any(rows(surv), axis=1)  # [nrows]
+    rows_per_tile = max(tile // 128, 1)
+    buf_rows = min(
+        nrows,
+        max(rows_per_tile,
+            -(-nrows // tail_frac // rows_per_tile) * rows_per_tile),
+    )
+    # indices of surviving rows, padded with row 0 (duplicate scatter
+    # targets write identical full-budget row-0 results: harmless)
+    row_idx = jnp.flatnonzero(surv_rows, size=buf_rows, fill_value=0)
     out2 = trace_brickmap_hbm(
-        bm, lt, jnp.take(origins, order, axis=0),
-        jnp.take(rays, order, axis=0), max_steps, **kw,
+        bm, lt,
+        rows(origins)[row_idx].reshape(-1, 3),
+        rows(rays, fill=1.0)[row_idx].reshape(-1, 3),  # no zero-dir pad rays
+        max_steps, **kw,
     )
 
     def merge(full, tail):
-        keep = jnp.take(full, order, axis=0)
-        t = jnp.where(sel.reshape((-1,) + (1,) * (tail.ndim - 1)), tail, keep)
-        return full.at[order].set(t)
+        tr = tail.reshape((buf_rows, 128) + full.shape[1:])
+        return rows(full).at[row_idx].set(tr).reshape(
+            (nrows * 128,) + full.shape[1:]
+        )[:n]
 
     outs = TraceOut(
         hit=merge(out1.hit, out2.hit),
@@ -343,8 +369,8 @@ def trace_brickmap_hbm_staged(
         steps=merge(out1.steps, out2.steps),
     )
     # overflow rescue (same guarantee as trace_brickmap_staged): if the
-    # tail buffer was too small, finish everything at full width
-    dropped = jnp.sum(surv) > buf_n
+    # row buffer was too small, finish everything at full width
+    dropped = jnp.sum(surv_rows) > buf_rows
     return jax.lax.cond(
         dropped,
         lambda: trace_brickmap_hbm(bm, lt, origins, rays, max_steps, **kw),
@@ -431,7 +457,7 @@ def _make_fetch_full(cache_ref, tags_smem, *, S):
         for s in range(S):
             cslot = jnp.where(want_new == tag_vals[s], s, cslot)
         word = _fetch_pass(cache, cslot, row, lane, S)
-        return word, cslot >= 0
+        return word, None, cslot >= 0  # no paired word: S-way cost x2
 
     return fetch
 
@@ -483,27 +509,37 @@ def _stage_shortlist(cache_ref, tags_smem, cand_ref, act, want, rot, *, S, K):
 
     def fetch(row, lane, want_new):
         # bool vectors don't survive Mosaic select at these shapes
-        # (i8->i1 trunci): carry served as i32 0/1
+        # (i8->i1 trunci): carry served as i32 0/1.
+        # Returns a SECOND word per ray from the same line at row+4 (the
+        # brick-slot word paired with a chunk's meta word) by reusing each
+        # candidate's lane-gather — this is what makes the fused
+        # single-iteration descend affordable (sl mode only).
         sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
         out = jnp.zeros((R, 128), I32)
+        out2 = jnp.zeros((R, 128), I32)
         served = jnp.zeros((R, 128), I32)
         for g in range(R):
             lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
             row_rep = jnp.broadcast_to(row[g, :][None, :], (8, 128))
+            row2_rep = (row_rep + 4) & 7  # garbage-but-safe on fine lanes
             wg = want_new[g, :][None, :]
             acc = jnp.zeros((1, 128), I32)
+            acc2 = jnp.zeros((1, 128), I32)
             srv = jnp.zeros((1, 128), I32)
             for tag, line in pergroup[g]:
                 y = jnp.take_along_axis(line, lane_rep, axis=1)
                 z = jnp.take_along_axis(y, row_rep, axis=0)
+                z2 = jnp.take_along_axis(y, row2_rep, axis=0)
                 m = wg == tag
                 acc = jnp.where(m, z[0:1, :], acc)
+                acc2 = jnp.where(m, z2[0:1, :], acc2)
                 srv = jnp.where(m, 1, srv)
             out = jnp.where(sub == g, jnp.broadcast_to(acc, (R, 128)), out)
+            out2 = jnp.where(sub == g, jnp.broadcast_to(acc2, (R, 128)), out2)
             served = jnp.where(
                 sub == g, jnp.broadcast_to(srv, (R, 128)), served
             )
-        return out, served != 0
+        return out, out2, served != 0
 
     return fetch
 
@@ -511,7 +547,7 @@ def _stage_shortlist(cache_ref, tags_smem, cand_ref, act, want, rot, *, S, K):
 def _trace_inner(
     env, fetch, carry, *,
     grid_dims, region_dims, num_regions, factor, wpb,
-    max_steps, use_macro, brick_layout,
+    max_steps, use_macro, brick_layout, double_step,
 ):
     """One DDA event for every ray in the working set — the shared hot
     loop body of the tile kernel and the row-retirement kernel.  ``env``
@@ -622,8 +658,12 @@ def _trace_inner(
     lane = jnp.where(fine_phase, w_glob & 127, meta_lane)
 
     # want_new == NOLINE never matches a tag (tags are -1 or real line
-    # ids), so `served` is automatically false on no-fetch lanes
-    word, served = fetch(row, lane, want_new)
+    # ids), so `served` is automatically false on no-fetch lanes.
+    # word2 (when the fetch provides it) is the brick-slot word paired
+    # with a coarse ray's meta word: descend then completes in ONE
+    # iteration instead of the meta->pend two-step.
+    word, word2, served = fetch(row, lane, want_new)
+    fused = word2 is not None
     word = jnp.where(have, hword, word)
     served = served | have
 
@@ -672,10 +712,15 @@ def _trace_inner(
     bnz = jnp.where(is_x | is_y, 0.0, jnp.where(ivz < 0, -1.0, 1.0))
 
     occupied = in_range_c & occ_c & bhit
-    # coarse ray on an occupied+hit chunk defers to a pend step (it needs
-    # the slot word next iteration); pend ray completes the descend now
-    to_pend = runnable & coarse_phase & occupied
-    descend = runnable & pend_phase
+    if fused:
+        # slot word arrived with the meta word: descend right now
+        to_pend = jnp.zeros((R, 128), jnp.bool_)
+        descend = runnable & coarse_phase & occupied
+    else:
+        # coarse ray on an occupied+hit chunk defers to a pend step (it
+        # needs the slot word next iteration); pend ray completes it
+        to_pend = runnable & coarse_phase & occupied
+        descend = runnable & pend_phase
     coarse_miss = runnable & coarse_phase & ~in_range_c
     coarse_adv = runnable & coarse_phase & in_range_c & ~occupied & ~macro_skip
 
@@ -715,6 +760,45 @@ def _trace_inner(
     )
     fine_step = fine_try & ~oob_f
     ascend = (runnable & fine_phase & ~in_range_f) | (fine_try & oob_f)
+
+    if double_step:
+        # fine double-step: when the cell entered by this step is (a) in
+        # range, (b) covered by the SAME brick word already in hand, and
+        # (c) empty, and the following crossing stays inside the brick,
+        # retire two DDA events this iteration.  Exactly reproduces two
+        # consecutive single-step iterations: the skipped cell is tested
+        # empty here (so no hit is skipped), entry position/normal/step
+        # charges use the same formulas the second iteration would.
+        f1cx = jnp.where(fax, fcx + stx, fcx)
+        f1cy = jnp.where(fay, fcy + sty, fcy)
+        f1cz = jnp.where(faz, fcz + stz, fcz)
+        f1tx = jnp.where(fax, ftx + tdx, ftx)
+        f1ty = jnp.where(fay, fty + tdy, fty)
+        f1tz = jnp.where(faz, ftz + tdz, ftz)
+        in_range1 = (
+            (f1cx >= 0) & (f1cx < f + fpadx)
+            & (f1cy >= 0) & (f1cy < f + fpady)
+            & (f1cz >= 0) & (f1cz < f + fpadz)
+        )
+        bit1 = brick_bit(
+            jnp.clip(f1cx, 0, f - 1),
+            jnp.clip(f1cy, 0, f - 1),
+            jnp.clip(f1cz, 0, f - 1),
+        )
+        same_word = (bit1 >> 5) == (bit >> 5)
+        occ1 = ((word >> (bit1 & 31)) & 1) == 1
+        gax, gay, gaz = _axis_pick3(f1tx, f1ty, f1tz)
+        gtc = jnp.where(gax, f1tx, jnp.where(gay, f1ty, f1tz))
+        gix = jnp.where(gax, (f1cx + (stx > 0)).astype(F32), fsx + gtc * dx)
+        giy = jnp.where(gay, (f1cy + (sty > 0)).astype(F32), fsy + gtc * dy)
+        giz = jnp.where(gaz, (f1cz + (stz > 0)).astype(F32), fsz + gtc * dz)
+        oob2 = (
+            (gix < 0.0) | (gix > f) | (giy < 0.0) | (giy > f)
+            | (giz < 0.0) | (giz > f)
+        )
+        step2 = fine_step & in_range1 & same_word & ~occ1 & ~oob2
+    else:
+        step2 = jnp.zeros((R, 128), jnp.bool_)
 
     # ================= coarse advance (normal + macro skip) ==========
     do_cadv = coarse_adv | ascend
@@ -798,32 +882,60 @@ def _trace_inner(
     new_fine = (in_fine | descend) & ~ascend & ~fine_hit
     def pick3(dsc, stp, new, adv, old):
         return jnp.where(dsc, new, jnp.where(stp, adv, old))
-    nfcx = pick3(descend, fine_step, fcx_new, jnp.where(fax, fcx + stx, fcx), fcx)
-    nfcy = pick3(descend, fine_step, fcy_new, jnp.where(fay, fcy + sty, fcy), fcy)
-    nfcz = pick3(descend, fine_step, fcz_new, jnp.where(faz, fcz + stz, fcz), fcz)
-    nftx = pick3(descend, fine_step, ftx_new, jnp.where(fax, ftx + tdx, ftx), ftx)
-    nfty = pick3(descend, fine_step, fty_new, jnp.where(fay, fty + tdy, fty), fty)
-    nftz = pick3(descend, fine_step, ftz_new, jnp.where(faz, ftz + tdz, ftz), ftz)
+    if double_step:
+        adv_cx = jnp.where(step2 & gax, f1cx + stx, f1cx)
+        adv_cy = jnp.where(step2 & gay, f1cy + sty, f1cy)
+        adv_cz = jnp.where(step2 & gaz, f1cz + stz, f1cz)
+        adv_tx = jnp.where(step2 & gax, f1tx + tdx, f1tx)
+        adv_ty = jnp.where(step2 & gay, f1ty + tdy, f1ty)
+        adv_tz = jnp.where(step2 & gaz, f1tz + tdz, f1tz)
+        adv_px = jnp.where(step2, gix, fix)
+        adv_py = jnp.where(step2, giy, fiy)
+        adv_pz = jnp.where(step2, giz, fiz)
+        # boolean select via bitwise logic: where() on bool vectors does
+        # not lower on v5e Mosaic (i8->i1 trunci)
+        nax = (step2 & gax) | (~step2 & fax)
+        nay = (step2 & gay) | (~step2 & fay)
+        naz = (step2 & gaz) | (~step2 & faz)
+    else:
+        adv_cx = jnp.where(fax, fcx + stx, fcx)
+        adv_cy = jnp.where(fay, fcy + sty, fcy)
+        adv_cz = jnp.where(faz, fcz + stz, fcz)
+        adv_tx = jnp.where(fax, ftx + tdx, ftx)
+        adv_ty = jnp.where(fay, fty + tdy, fty)
+        adv_tz = jnp.where(faz, ftz + tdz, ftz)
+        adv_px, adv_py, adv_pz = fix, fiy, fiz
+        nax, nay, naz = fax, fay, faz
+    nfcx = pick3(descend, fine_step, fcx_new, adv_cx, fcx)
+    nfcy = pick3(descend, fine_step, fcy_new, adv_cy, fcy)
+    nfcz = pick3(descend, fine_step, fcz_new, adv_cz, fcz)
+    nftx = pick3(descend, fine_step, ftx_new, adv_tx, ftx)
+    nfty = pick3(descend, fine_step, fty_new, adv_ty, fty)
+    nftz = pick3(descend, fine_step, ftz_new, adv_tz, ftz)
     nfsx = jnp.where(descend, fsx_new, fsx)
     nfsy = jnp.where(descend, fsy_new, fsy)
     nfsz = jnp.where(descend, fsz_new, fsz)
-    nfpx = pick3(descend, fine_step, fsx_new, fix, fpx)
-    nfpy = pick3(descend, fine_step, fsy_new, fiy, fpy)
-    nfpz = pick3(descend, fine_step, fsz_new, fiz, fpz)
+    nfpx = pick3(descend, fine_step, fsx_new, adv_px, fpx)
+    nfpy = pick3(descend, fine_step, fsy_new, adv_py, fpy)
+    nfpz = pick3(descend, fine_step, fsz_new, adv_pz, fpz)
     nfpadx = jnp.where(descend, fpadx_new, fpadx)
     nfpady = jnp.where(descend, fpady_new, fpady)
     nfpadz = jnp.where(descend, fpadz_new, fpadz)
-    nfsteps = jnp.where(descend, 0, fsteps + jnp.where(fine_step, 1, 0))
+    nfsteps = jnp.where(
+        descend, 0,
+        fsteps + jnp.where(fine_step, 1, 0) + jnp.where(step2, 1, 0),
+    )
     ncnx = jnp.where(descend, bnx, cnx)
     ncny = jnp.where(descend, bny, cny)
     ncnz = jnp.where(descend, bnz, cnz)
-    nfnx = jnp.where(fine_step, jnp.where(fax, stx.astype(F32), 0.0), fnx)
-    nfny = jnp.where(fine_step, jnp.where(fay, sty.astype(F32), 0.0), fny)
-    nfnz = jnp.where(fine_step, jnp.where(faz, stz.astype(F32), 0.0), fnz)
+    nfnx = jnp.where(fine_step, jnp.where(nax, stx.astype(F32), 0.0), fnx)
+    nfny = jnp.where(fine_step, jnp.where(nay, sty.astype(F32), 0.0), fny)
+    nfnz = jnp.where(fine_step, jnp.where(naz, stz.astype(F32), 0.0), fnz)
 
     nsteps = jnp.minimum(
         steps
         + jnp.where(do_cadv | fine_step, 1, 0)
+        + jnp.where(step2, 1, 0)
         + jnp.where(macro_skip, skip_l1, 0),
         max_steps,
     )
@@ -849,10 +961,15 @@ def _trace_inner(
 
     dead = nsteps >= max_steps
     nact = (active & ~fine_hit & ~coarse_miss & ~dead).astype(I32)
-    npend = (to_pend | (pending & ~runnable & active)).astype(I32)
-    # pend rays carry the meta word; slot word becomes the brick slot
-    npmeta = jnp.where(to_pend, word, pmeta)
-    nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
+    if fused:
+        npend = zeroi
+        npmeta = pmeta
+        nbslot = jnp.where(descend, jnp.maximum(word2, 0), bslot)
+    else:
+        npend = (to_pend | (pending & ~runnable & active)).astype(I32)
+        # pend rays carry the meta word; slot word becomes the brick slot
+        npmeta = jnp.where(to_pend, word, pmeta)
+        nbslot = jnp.where(descend, jnp.maximum(word, 0), bslot)
     # refresh the held brick word on any served fine lane (hword is the
     # true word for hwid, so rewriting identical data on `have` lanes is
     # a no-op)
@@ -961,6 +1078,7 @@ def _bigtrace_kernel(
     use_macro: bool,
     brick_layout: Layout,
     shortlist: int,
+    double_step: bool,
 ):
     GX, GY, GZ = grid_dims
     RX, RY, RZ = region_dims
@@ -1024,6 +1142,7 @@ def _bigtrace_kernel(
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
         factor=factor, wpb=wpb, max_steps=max_steps,
         use_macro=use_macro, brick_layout=brick_layout,
+        double_step=double_step,
     )
 
     def outer_body(carry):
@@ -1092,7 +1211,7 @@ def _bigtrace_kernel(
     jax.jit,
     static_argnames=(
         "max_steps", "tile", "num_slots", "inner_steps", "dma_per_round",
-        "use_macro", "interpret", "return_iters", "shortlist",
+        "use_macro", "interpret", "return_iters", "shortlist", "double_step",
     ),
 )
 def trace_brickmap_hbm(
@@ -1108,7 +1227,8 @@ def trace_brickmap_hbm(
     use_macro: bool = True,
     interpret: bool | None = None,
     return_iters: bool = False,
-    shortlist: int = 2,
+    shortlist: int = 0,
+    double_step: bool = True,
 ) -> TraceOut:
     """Two-level brickmap trace through the HBM line table (see module doc).
 
@@ -1189,6 +1309,7 @@ def trace_brickmap_hbm(
         use_macro=use_macro,
         brick_layout=bm.brick_layout,
         shortlist=shortlist,
+        double_step=double_step,
     )
     outs = pl.pallas_call(
         kern,
@@ -1243,7 +1364,7 @@ def _rr_kernel(
     grid_dims, region_dims, num_regions: int, factor: int, wpb: int,
     max_steps: int, num_slots: int, inner_steps: int, dma_per_round: int,
     use_macro: bool, brick_layout: Layout, n_rows: int, R: int,
-    shortlist: int,
+    shortlist: int, double_step: bool,
 ):
     S = num_slots
     NR = num_regions
@@ -1264,6 +1385,7 @@ def _rr_kernel(
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
         factor=factor, wpb=wpb, max_steps=max_steps,
         use_macro=use_macro, brick_layout=brick_layout,
+        double_step=double_step,
     )
 
     zero = jnp.zeros((R, 128), F32)
@@ -1470,7 +1592,7 @@ def _rr_kernel(
     jax.jit,
     static_argnames=(
         "max_steps", "rows_inflight", "num_slots", "inner_steps",
-        "dma_per_round", "use_macro", "interpret", "shortlist",
+        "dma_per_round", "use_macro", "interpret", "shortlist", "double_step",
     ),
 )
 def trace_brickmap_hbm_rr(
@@ -1485,7 +1607,8 @@ def trace_brickmap_hbm_rr(
     dma_per_round: int = 4,
     use_macro: bool = True,
     interpret: bool | None = None,
-    shortlist: int = 2,
+    shortlist: int = 0,
+    double_step: bool = True,
 ) -> TraceOut:
     """Row-retirement variant of :func:`trace_brickmap_hbm` (see the
     kernel comment): identical semantics, different scheduling — finished
@@ -1548,6 +1671,7 @@ def trace_brickmap_hbm_rr(
         n_rows=n_rows,
         R=R,
         shortlist=shortlist,
+        double_step=double_step,
     )
     out = pl.pallas_call(
         kern,

@@ -61,41 +61,40 @@ def render_frame_sharded(
     frame_number,
     cfg: RenderConfig,
     mesh: Mesh,
+    lt=None,
 ) -> jax.Array:
     """Row-sharded frame render: ``render_frame`` semantics, N devices.
 
     The framebuffer should be sharded ``P('rows')``; the world replicated
     (see :func:`replicate_world`).  Returns the sharded framebuffer.
+
+    Each device renders its own contiguous block of pre-remap rows with
+    the SAME machinery as the single-device path — tile-order ray
+    blocking, the flagship HBM line-table Pallas kernel when ``lt`` is
+    given, and the scatter-free pair-select composite (the round-2
+    44.7 -> 4.0 ms/frame win, :func:`...render.frame.composite_frame`).
+    The checkerboard remap ``y = 2y' + (x even) + (frame even)`` commutes
+    with row blocks; the only seam is the even-frame ``+2`` crossing,
+    covered by one halo ray row per device (zero communication).
     """
+    from voxelengine_tpu.render.frame import _block_side
+
     W, H = cfg.width, cfg.height
     n = mesh.devices.size
-    rows_total = H // 2 if cfg.checkerboard else H
+    cb = cfg.checkerboard
+    rows_total = H // 2 if cb else H
     assert H % n == 0 and rows_total % n == 0, "height must divide the mesh"
+    assert not (cb and H % 2), "checkerboard sharding needs even height"
     rows_local = rows_total // n
+    bw, bh = _block_side(W), _block_side(rows_local)
+    blocked = cfg.tile_order and bw * bh > 1
 
-    def tile(bm, fb_block, origin, euler, env, frame_number):
-        dev = jax.lax.axis_index("rows")
-        row0 = dev * rows_local
-        # one-row halo: the checkerboard remap y = 2y' + (x even) + (frame
-        # even) can target y = 2y' + 2, i.e. the row pair BELOW y' — which
-        # belongs to the next device when y' is a block's last row.  Each
-        # device therefore also computes its upper neighbour's last
-        # pre-remap row (zero communication, 1/rows_local extra compute)
-        # and masks rays with no in-frame source (y' < 0).
-        halo = 1 if cfg.checkerboard else 0
-        xg, yg = jnp.meshgrid(
-            jnp.arange(W), jnp.arange(rows_local + halo) - halo, indexing="xy"
-        )
-        px = xg.reshape(-1)
-        py_r = yg.reshape(-1) + row0  # global pre-remap row (may be -1)
-        if cfg.checkerboard:
-            py = (
-                py_r * 2
-                + jnp.where(px % 2 == 0, 1, 0)
-                + jnp.where(frame_number % 2 == 0, 1, 0)
-            )
-        else:
-            py = py_r
+    def rays_for_rows(origin, euler, frame_number, px, py_r):
+        py = (
+            py_r * 2
+            + jnp.where(px % 2 == 0, 1, 0)
+            + jnp.where(frame_number % 2 == 0, 1, 0)
+        ) if cb else py_r
         u = px.astype(F32) / F32(W)
         v = py.astype(F32) / F32(H)
         fwd, up, right = cam.get_directions(euler)
@@ -108,24 +107,73 @@ def render_frame_sharded(
             origins = cam.ray_origin_ortho(
                 fwd, up, right, W, H, u, v, o, cfg.ortho_size
             )
+        return origins, dirs, py
+
+    def unblock_local(a):
+        rest = a.shape[1:]
+        if blocked:
+            a = a.reshape(rows_local // bh, W // bw, bh, bw, *rest)
+            a = a.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+        return a.reshape(rows_local, W, *rest)
+
+    def tile(bm, lt, fb_block, origin, euler, env, frame_number):
+        dev = jax.lax.axis_index("rows")
+        row0 = dev * rows_local
+        xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows_local), indexing="xy")
+        if blocked:
+            def blk(a):
+                return (
+                    a.reshape(rows_local // bh, bh, W // bw, bw)
+                    .transpose(0, 2, 1, 3).reshape(-1)
+                )
+            px, py_rl = blk(xg), blk(yg)
+        else:
+            px, py_rl = xg.reshape(-1), yg.reshape(-1)
+        py_r = py_rl + row0
+        if cb:
+            # halo strip: the device's first fb row pair receives the even-
+            # frame +2 writes of the PREVIOUS device's last pre-remap row;
+            # recompute that row locally (1/rows_local extra rays, no comm)
+            px = jnp.concatenate([px, jnp.arange(W)])
+            py_r = jnp.concatenate([py_r, jnp.full((W,), row0 - 1)])
+        origins, dirs, py = rays_for_rows(origin, euler, frame_number, px, py_r)
         color, write = shade_pixels(
-            bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+            bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg,
+            None, lt,
         )
-        # local scatter: this device owns fb rows [dev*H/n, (dev+1)*H/n)
-        y_local = py - dev * (H // n)
-        hloc = fb_block.shape[0]
-        ok = write & (py_r >= 0) & (y_local >= 0) & (y_local < hloc)
-        y_w = jnp.where(ok, y_local, hloc)
-        return fb_block.at[y_w, px].set(color, mode="drop")
+        if not cb:
+            h = unblock_local(color)
+            w = unblock_local(write)
+            return jnp.where(w[..., None], h, fb_block)
+        n_main = rows_local * W
+        h_main = unblock_local(color[:n_main])
+        w_main = unblock_local(write[:n_main])
+        halo_ok = py_r[n_main:] >= 0  # device 0 has no global row -1
+        h_halo = color[n_main:][None]
+        w_halo = (write[n_main:] & halo_ok)[None]
+        # pair-select composite (see composite_frame): even target rows take
+        # the row ABOVE on even frames / even columns; h_prev supplies it,
+        # with the halo standing in for the cross-device row
+        ce = (jnp.arange(W) % 2 == 0)[None, :]
+        q = frame_number % 2 == 0
+        h_prev = jnp.concatenate([h_halo, h_main[:-1]], axis=0)
+        w_prev = jnp.concatenate([w_halo, w_main[:-1]], axis=0)
+        src0 = jnp.where(q, h_prev, h_main)
+        m0 = jnp.where(q, ce & w_prev, (~ce) & w_main)
+        m1 = w_main & jnp.where(q, ~ce, ce)
+        pairs = fb_block.reshape(rows_local, 2, W, 3)
+        p0 = jnp.where(m0[..., None], src0, pairs[:, 0])
+        p1 = jnp.where(m1[..., None], h_main, pairs[:, 1])
+        return jnp.stack([p0, p1], axis=1).reshape(2 * rows_local, W, 3)
 
     fb = jax.shard_map(
         tile,
         mesh=mesh,
-        in_specs=(P(), P("rows"), P(), P(), P(), P()),
+        in_specs=(P(), P(), P("rows"), P(), P(), P(), P()),
         out_specs=P("rows"),
         check_vma=False,
-    )(bm, framebuffer, jnp.asarray(origin, F32), jnp.asarray(euler, F32), env,
-      jnp.asarray(frame_number, jnp.int32))
+    )(bm, lt, framebuffer, jnp.asarray(origin, F32), jnp.asarray(euler, F32),
+      env, jnp.asarray(frame_number, jnp.int32))
     return fb
 
 
