@@ -74,10 +74,10 @@ def main():
     # only the one-time save pays the slow device->host link).  The cache
     # key pins dims/factor/octaves; worldgen is deterministic and bit-exact
     # (and verified against the golden C++ generator in tests).
+    key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o32_v1"
     if os.environ.get("BENCH_WORLD_CACHE", "1") == "1":
         from voxelengine_tpu.io.checkpoint import generate_or_load
 
-        key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o32_v1"
         bm = generate_or_load(".world_cache", key,
                               lambda: build_brickmap_terrain_compact(dims, 32))
     else:
@@ -100,8 +100,10 @@ def main():
 
     lt = fused = None
     if backend == "pallas":
+        from voxelengine_tpu.io.checkpoint import line_table_or_build
+
         t0 = time.perf_counter()
-        lt = make_line_table(bm)
+        lt = line_table_or_build(".world_cache", key + "_lt1", bm)
         lt.region_lines.block_until_ready()
         log(f"line table: {time.perf_counter()-t0:.1f}s; "
             f"{lt.region_lines.nbytes/1e6:.1f} MB side tables "

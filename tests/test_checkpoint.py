@@ -49,3 +49,24 @@ def test_orbax_roundtrip(tmp_path, small_world):
     assert bm2.grid_dims == bm.grid_dims and bm2.factor == bm.factor
     assert bm2.coarse_layout is bm.coarse_layout
     assert bm2.brick_layout is bm.brick_layout and bm2.dense_slots == bm.dense_slots
+
+
+def test_line_table_cache_roundtrip(tmp_path, small_world):
+    """line_table_or_build: second call loads byte-identical side tables
+    from disk without rebuilding (cold-start item: the bench paid 12.5 s
+    per process rebuilding the table in round 2)."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+    from voxelengine_tpu.io.checkpoint import line_table_or_build
+
+    dense, _, _ = small_world
+    bm = build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR)
+    lt1 = line_table_or_build(str(tmp_path), "w", bm)
+    assert (tmp_path / "w.lt.npz").exists()
+    lt2 = line_table_or_build(str(tmp_path), "w", bm)
+    assert np.array_equal(np.asarray(lt1.region_lines), np.asarray(lt2.region_lines))
+    assert np.array_equal(np.asarray(lt1.macro), np.asarray(lt2.macro))
+    assert np.array_equal(np.asarray(lt1.macro2), np.asarray(lt2.macro2))
+    assert lt2.num_regions == lt1.num_regions
+    assert lt2.region_dims == lt1.region_dims

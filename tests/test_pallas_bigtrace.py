@@ -66,6 +66,27 @@ def test_bigtrace_matches_xla_random_world(rng, use_macro, shortlist):
         _assert_match(out, ref)
 
 
+@pytest.mark.parametrize(
+    "coarse", [Layout.LINEAR, Layout.TILED_MORTON, Layout.TILED_LINEAR]
+)
+def test_bigtrace_any_coarse_layout(rng, coarse):
+    """C3 property: the line table + flagship kernel reproduce the XLA
+    traversal for every coarse chunk-order (the table build gathers
+    non-LINEAR orders into region records; VolumeRaytracer.cuh:17-18)."""
+    dense = rng.random((64, 64, 64)) < 0.02
+    dense[:, 0:3, :] = rng.random((64, 3, 64)) < 0.5
+    grid = BitGrid.from_dense(dense)
+    bm = build_brickmap(grid, 8, coarse_layout=coarse)
+    assert bm.coarse_layout is coarse  # 8^3 chunk grid keeps any layout
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 192, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 200)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 200, tile=128, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)
+
+
 def test_bigtrace_terrain_compact(rng):
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
 

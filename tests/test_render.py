@@ -145,6 +145,105 @@ def test_shadow_and_ao_options_run(small_world):
     assert np.isfinite(np.asarray(fb)).all()
 
 
+def _primary_hits(dense, bm, n=48):
+    """A fixed batch of primary rays with surface hits + their positions."""
+    from voxelengine_tpu.ops.trace import trace_brickmap
+
+    r = np.random.default_rng(99)
+    origins = (r.random((n, 3)) * 24 + 4).astype(np.float32)
+    origins[:, 1] = 28.0  # above the floor, inside the 32^3 world
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1]) - 0.5  # downward: guaranteed floor hits
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    out = trace_brickmap(bm, origins, d.astype(np.float32), 256)
+    return origins, d.astype(np.float32), out
+
+
+def test_shadow_rays_golden_vs_oracle(small_world):
+    """Shadow occlusion matches the scalar numpy oracle ray-for-ray: the
+    jitted secondary trace from hit + L*0.01 along L (shade_traced,
+    mirroring the reference's disabled scaffold Renderer.cu:98-104)."""
+    import voxelengine_tpu.oracle.reference as R
+    from voxelengine_tpu.ops.trace import trace_brickmap
+
+    dense, _, bm = small_world
+    env = Environment.default()
+    origins, d, out = _primary_hits(dense, bm)
+    hit = np.asarray(out.hit)
+    assert hit.sum() >= 16
+    L = np.asarray(env.light_direction, np.float32)
+    spos = np.asarray(out.position) + L * 0.01
+    sres = trace_brickmap(bm, spos, np.tile(L, (spos.shape[0], 1)), 256)
+    coarse, cdims, brick, cbounds = R.make_brickmap_callbacks(dense, 8)
+    mism = 0
+    for i in np.flatnonzero(hit):
+        o_hit = R.raytrace_brickmap(
+            coarse, cdims, brick, cbounds, 8, spos[i], L, 256
+        ).hit
+        mism += int(o_hit != bool(np.asarray(sres.hit)[i]))
+    # resume-based production path vs oracle repeat-cell quirk: same 1%
+    # budget as test_oracle_parity
+    assert mism <= max(1, hit.sum() // 100), mism
+
+
+def test_ao_golden_vs_oracle(small_world):
+    """Hemisphere-sampled AO matches a scalar oracle that reimplements the
+    reference semantics (Renderer.cu:120-165: hash-seeded sample dirs,
+    below-hemisphere reflect, 8-step occlusion rays, 1-min(1/(10 d),1)
+    falloff) with traces through the numpy oracle raytracer."""
+    import voxelengine_tpu.oracle.reference as R
+    from voxelengine_tpu.ops.noise import random_float
+    from voxelengine_tpu.render.frame import _ambient_occlusion
+
+    dense, _, bm = small_world
+    origins, d, out = _primary_hits(dense, bm)
+    hit = np.asarray(out.hit)
+    normal = -np.asarray(out.normal)
+    pos = np.asarray(out.position)
+    n = pos.shape[0]
+    cfg = RenderConfig(width=32, height=16, checkerboard=False, ao_samples=4)
+    px = np.arange(n, dtype=np.int32) % cfg.width
+    py = np.arange(n, dtype=np.int32) // cfg.width
+    ao = np.asarray(_ambient_occlusion(
+        bm, jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(px),
+        jnp.asarray(py), jnp.int32(0), cfg,
+    ))
+
+    def rf(si):
+        return float(random_float(jnp.uint32(np.uint32(si))))
+
+    coarse, cdims, brick, cbounds = R.make_brickmap_callbacks(dense, 8)
+    bad = 0
+    for i in np.flatnonzero(hit):
+        seed = np.int32(py[i] * cfg.width + px[i])
+        occ = 0.0
+        for s in range(cfg.ao_samples):
+            si = np.int32(seed + s * 1000 + 1000)
+            sd = np.array(
+                [rf(si) * 2 - 1, rf(np.int32(si * 10)) * 2 - 1,
+                 rf(np.int32(si * 100)) * 2 - 1], np.float32,
+            )
+            sd = sd / np.float32(np.linalg.norm(sd))
+            if float(np.dot(sd, normal[i])) < 0.0:
+                sd = sd - 2.0 * np.dot(sd, normal[i]) * normal[i]
+            res = R.raytrace_brickmap(
+                coarse, cdims, brick, cbounds, 8,
+                pos[i] + normal[i] * 0.01, sd, 8,
+            )
+            if res.hit:
+                dist = float(np.linalg.norm(res.position - pos[i]))
+                occ += 1.0 - min(1.0 / max(dist * 10.0, 1e-6), 1.0)
+            else:
+                occ += 1.0
+        occ /= cfg.ao_samples
+        bad += int(abs(occ - float(ao[i])) > 1e-2)
+    # tolerance 1e-2: at the 8-step budget boundary the oracle and the
+    # resume-based XLA path can disagree on a marginal far hit, but the
+    # 1-1/(10 d) falloff makes those contributions ~= a miss (measured
+    # deltas <= 0.005); real seed/hemisphere/falloff bugs are O(0.1+)
+    assert bad <= max(1, hit.sum() // 20), bad
+
+
 def test_to_bgra8(small_world):
     fb = jnp.asarray([[[1.0, 0.5, 0.0]]])
     b = np.asarray(to_bgra8(fb))

@@ -76,7 +76,7 @@ class LineTable:
     """
 
     region_lines: jax.Array  # i32[NR * 8, 128]
-    macro: jax.Array  # i32[8, 128] packed region-occupancy bits
+    macro: jax.Array  # i32[8*ceil(NR/32768), 128] packed region-occupancy bits
     # L2 macro: occupancy of 4x4x4-region groups ("super-regions", 32^3
     # chunks), packed into <= MACRO2_WORDS words so the kernel can fetch it
     # with a broadcast-select chain instead of a gather
@@ -96,18 +96,36 @@ def brick_lines_view(bm: BrickMap) -> jax.Array:
     return bw.reshape(-1, 128)
 
 
+@jax.jit
 def make_line_table(bm: BrickMap) -> LineTable:
     """Build the HBM region-line table + macro occupancy for a brickmap.
 
-    Requires LINEAR coarse layout (the terrain builders' output).  Grid dims
-    are padded up to multiples of 8 with empty chunks.
+    Any coarse layout (C3): non-LINEAR orders (Morton / tiled) are
+    gathered into region-record order once at build time — the kernel
+    addresses regions by coordinates, so traversal is layout-independent.
+    Grid dims are padded up to multiples of 8 with empty chunks; the macro
+    occupancy grows in 32768-region vreg blocks (no fixed region cap).
+    Jitted: one fused dispatch instead of ~30 eager ops (each paying the
+    host<->device tunnel round trip — measured 12 s eager, <1 s jitted;
+    cache via :func:`voxelengine_tpu.io.checkpoint.line_table_or_build`).
     """
-    assert bm.coarse_layout is Layout.LINEAR, "line table needs LINEAR coarse"
+    from voxelengine_tpu.core.layout import sample_index
+
     gx, gy, gz = bm.grid_dims
     rx, ry, rz = -(-gx // 8), -(-gy // 8), -(-gz // 8)
     nr = rx * ry * rz
-    assert nr <= 32768, "macro table caps at 32768 regions"
     px, py, pz = rx * 8, ry * 8, rz * 8
+
+    if bm.coarse_layout is Layout.LINEAR:
+        lin_meta = bm.meta
+        lin_slots = bm.brick_idx
+    else:
+        zz, yy, xx = jnp.meshgrid(
+            jnp.arange(gz), jnp.arange(gy), jnp.arange(gx), indexing="ij"
+        )
+        src = sample_index(xx, yy, zz, gx, gy, bm.coarse_layout).reshape(-1)
+        lin_meta = bm.meta[src]
+        lin_slots = bm.brick_idx[src]
 
     def to_regions(flat, fill):
         a = flat.reshape(gz, gy, gx)
@@ -118,21 +136,22 @@ def make_line_table(bm: BrickMap) -> LineTable:
         a = a.reshape(rz, 8, ry, 8, rx, 8).transpose(0, 2, 4, 1, 3, 5)
         return a.reshape(nr, 512)
 
-    meta_r = to_regions(bm.meta, 0)
-    slots_r = to_regions(bm.brick_idx, -1)
+    meta_r = to_regions(lin_meta, 0)
+    slots_r = to_regions(lin_slots, -1)
     region_lines = (
         jnp.concatenate([meta_r, slots_r], axis=1).reshape(-1, 128)
     )  # [nr*8, 128]
 
     occ_r = jnp.any((meta_r >> 30) & 1 == 1, axis=1)
+    nv = -(-nr // 32768)  # macro vregs (32768 region bits each)
     occ_pad = jnp.concatenate(
-        [occ_r, jnp.zeros((32768 - nr,), jnp.bool_)]
-    ).reshape(1024, 32)
+        [occ_r, jnp.zeros((nv * 32768 - nr,), jnp.bool_)]
+    ).reshape(nv * 1024, 32)
     shifts = jnp.arange(32, dtype=jnp.int32)
     macro_words = jnp.sum(
         jnp.where(occ_pad, jnp.int32(1) << shifts[None, :], 0), axis=1
     ).astype(I32)
-    macro = macro_words.reshape(8, 128)
+    macro = macro_words.reshape(nv * 8, 128)
 
     # L2: super-region (4x4x4 regions = 32^3 chunks) occupancy.  Only built
     # when it fits the broadcast-select budget; all-occupied otherwise
@@ -212,10 +231,14 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     base_x = (cx >> 3)[:, None, None, None] * 8 + dx
     base_y = (cy >> 3)[:, None, None, None] * 8 + dy
     base_z = (cz >> 3)[:, None, None, None] * 8 + dz
+    from voxelengine_tpu.core.layout import sample_index
+
     inb = (base_x < gx) & (base_y < gy) & (base_z < gz)
-    cid = (
-        jnp.minimum(base_x, gx - 1)
-        + gx * (jnp.minimum(base_y, gy - 1) + gy * jnp.minimum(base_z, gz - 1))
+    cid = sample_index(
+        jnp.minimum(base_x, gx - 1),
+        jnp.minimum(base_y, gy - 1),
+        jnp.minimum(base_z, gz - 1),
+        gx, gy, bm2.coarse_layout,
     )
     occ_any = jnp.any(
         (((bm2.meta[cid.reshape(ci.shape[0], -1)] >> 30) & 1) == 1)
@@ -268,7 +291,8 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
         macro2 = jax.lax.fori_loop(0, ci.shape[0], body2, macro2)
 
     lt2 = dataclasses.replace(
-        lt, region_lines=lines, macro=macro_flat.reshape(8, 128), macro2=macro2
+        lt, macro=macro_flat.reshape(lt.macro.shape),
+        region_lines=lines, macro2=macro2,
     )
     return bm2, lt2
 
@@ -609,8 +633,18 @@ def _trace_inner(
             # <= 128 macro words: the word row is always 0, so one
             # lane gather per group suffices (no cross-sublane take)
             mword = _fetch_static_row0(macro_row0, mw & 127)
-        else:
+        elif NR <= 32768:
             mword = _fetch_static(macro, mw >> 7, mw & 127)
+        else:
+            # > 32768 regions: broadcast-select over the macro's 32768-bit
+            # vreg blocks (per-vreg ax0 gathers cap at 8 sublanes)
+            nv = -(-NR // 32768)
+            mword = jnp.zeros((R, 128), I32)
+            for v in range(nv):
+                part = _fetch_static(
+                    macro[v * 8 : (v + 1) * 8], (mw >> 7) & 7, mw & 127
+                )
+                mword = jnp.where((mw >> 10) == v, part, mword)
         region_occ = ((mword >> mbit) & 1) == 1
         # L2: super-region occupancy via a broadcast-select chain over
         # <= MACRO2_WORDS scalar words (no gather)
