@@ -6,7 +6,7 @@ driver-facing single-metric bench is ``bench.py`` (config 4).
 
   1. oracle hit-trace parity         (correctness gate, CPU oracle)
   2. 64^3 dense grid, 256x256 depth  (MXU kernel + XLA path)
-  3. 512^3 brickmap @720p            (staged+fused XLA traversal)
+  3. 512^3 brickmap @720p            (HBM line-table Pallas kernel)
   4. 8k x 512 x 8k @1080p            (the headline; pass --full)
   5. interactive edits               (place/break + re-trace latency)
 """
@@ -64,16 +64,20 @@ def config2():
     o = np.stack([np.full(u.size, 32.0), np.full(u.size, 90.0), np.full(u.size, -40.0)], -1)
     d = np.stack([(u.reshape(-1) - 0.5) * 1.2, -np.ones(u.size) * 0.9, np.ones(u.size)], -1)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    oj, dj = jnp.asarray(o.astype(np.float32)), jnp.asarray(d.astype(np.float32))
-    out = trace_grid_mxu(g, oj, dj)
-    out.hit.block_until_ready()
-    # pipelined (async dispatch, like a real frame loop): amortizes the
-    # host->device dispatch latency
+    dj = jnp.asarray(d.astype(np.float32))
+    # per-rep distinct origins + a final checksum readback: byte-identical
+    # repeated dispatches short-circuit in this environment (NOTES_ROUND3)
     reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = trace_grid_mxu(g, oj, dj)
+    ojs = [jnp.asarray(o.astype(np.float32)) + jnp.float32(1e-4) * k
+           for k in range(reps + 1)]
+    for x in ojs:
+        x.block_until_ready()
+    out = trace_grid_mxu(g, ojs[reps], dj)
     out.hit.block_until_ready()
+    t0 = time.perf_counter()
+    for k in range(reps):
+        out = trace_grid_mxu(g, ojs[k], dj)
+    _ = float(jnp.sum(out.steps))
     ms = (time.perf_counter() - t0) * 1000 / reps
     return f"64^3 depth 256x256 (MXU kernel, pipelined): {ms:.2f} ms -> {W*H/ms/1000:.1f} Mrays/s"
 
@@ -81,44 +85,56 @@ def config2():
 def config3():
     from voxelengine_tpu.config import Environment, RenderConfig
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain
-    from voxelengine_tpu.ops.trace import make_fused_table
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
     from voxelengine_tpu.render.frame import make_framebuffer, render_frame
 
     bm = build_brickmap_terrain((512, 512, 512), 32, octaves=8)
-    fused = make_fused_table(bm)
-    cfg = RenderConfig(width=1280, height=720, checkerboard=True)
+    lt = make_line_table(bm)  # round-3: HBM line-table Pallas kernel path
+    cfg = RenderConfig(width=1280, height=720, checkerboard=True,
+                       tile_order=True, trace_tile=2048, trace_slots=16)
     env = Environment.default()
     o = jnp.asarray([256.0, 300.0, 256.0])
-    e = jnp.asarray([-0.35, 0.75, 0.0])
     fb = make_framebuffer(cfg)
-    fb = render_frame(bm, fb, o, e, env, jnp.int32(0), cfg, fused)
+    e0 = jnp.asarray([-0.35, 0.75, 0.0])
+    fb = render_frame(bm, fb, o, e0, env, jnp.int32(0), cfg, None, lt)
     fb.block_until_ready()
-    reps = 3
+    reps = 6
+    # warmup batch + distinct frames + checksum (bench.py methodology)
+    for i in range(1, 3):
+        fb = render_frame(bm, fb, o, e0 + jnp.float32(1e-5) * i, env,
+                          jnp.int32(i), cfg, None, lt)
+    _ = float(jnp.sum(fb))
     t0 = time.perf_counter()
-    for i in range(1, 1 + reps):
-        fb = render_frame(bm, fb, o, e, env, jnp.int32(i), cfg, fused)
-    fb.block_until_ready()
+    for i in range(3, 3 + reps):
+        fb = render_frame(bm, fb, o, e0 + jnp.float32(1e-5) * i, env,
+                          jnp.int32(i), cfg, None, lt)
+    _ = float(jnp.sum(fb))
     ms = (time.perf_counter() - t0) * 1000 / reps
     rays = cfg.width * cfg.height // 2
-    return f"512^3 @720p shaded checkerboard: {ms:.0f} ms/frame ({1000/ms:.1f} FPS, {rays/ms/1000:.2f} Mrays/s)"
+    return f"512^3 @720p shaded checkerboard (HBM kernel): {ms:.0f} ms/frame ({1000/ms:.1f} FPS, {rays/ms/1000:.2f} Mrays/s)"
 
 
 def config5():
     from voxelengine_tpu import VoxelRaytracer3D
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain
 
-    rt = VoxelRaytracer3D()
+    rt = VoxelRaytracer3D()  # line_table mode: O(edits) apply_edits_hbm
     rt.upload_world(build_brickmap_terrain((256, 256, 256), 32, octaves=8))
     o = np.tile(np.asarray([[128, 200, 128]], np.float32), (1024, 1))
     d = np.tile(np.asarray([[0.2, -1.0, 0.1]], np.float32), (1024, 1))
-    rt.raytrace(o, d)  # warm
-    xs = jnp.arange(64) + 64
+    rt.raytrace(o, d)  # warm trace
+    rt.edit_voxels(jnp.arange(64) + 32, jnp.full(64, 140), jnp.full(64, 120),
+                   True)  # warm edit compile
+    rt.raytrace(o, d)
+    reps = 4
     t0 = time.perf_counter()
-    rt.edit_voxels(xs, jnp.full(64, 150), jnp.full(64, 128), True)
-    res = rt.raytrace(o, d)
-    jax.block_until_ready(res.valid)
-    ms = (time.perf_counter() - t0) * 1000
-    return f"edit 64 voxels + re-trace 1024 rays: {ms:.1f} ms"
+    for k in range(reps):  # distinct edits per rep (anti-short-circuit)
+        rt.edit_voxels(jnp.arange(64) + 64 + k, jnp.full(64, 150),
+                       jnp.full(64, 128 + k), True)
+        res = rt.raytrace(o, d)
+    _ = float(jnp.sum(res.steps))
+    ms = (time.perf_counter() - t0) * 1000 / reps
+    return f"edit 64 voxels + re-trace 1024 rays (apply_edits_hbm): {ms:.1f} ms"
 
 
 def main():

@@ -24,13 +24,16 @@ FORMAT_VERSION = 1
 
 
 def save_world(path: str, bm: BrickMap) -> None:
-    """Serialize a brickmap world to ``path`` (.npz)."""
+    """Serialize a brickmap world: small tables compressed in ``path``
+    (.npz), the multi-GB brick words raw in ``path + '.bricks.npy'`` —
+    zlib-decompressing ~2 GB costs >10 s of the warm start, while a raw
+    .npy mmap-loads in the host->device transfer time."""
+    np.save(path + ".bricks.npy", np.asarray(bm.bricks))
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
         meta=np.asarray(bm.meta),
         brick_idx=np.asarray(bm.brick_idx),
-        bricks=np.asarray(bm.bricks),
         grid_dims=np.asarray(bm.grid_dims),
         factor=bm.factor,
         coarse_layout=bm.coarse_layout.value,
@@ -40,13 +43,18 @@ def save_world(path: str, bm: BrickMap) -> None:
 
 
 def load_world(path: str) -> BrickMap:
-    """Load a brickmap world saved by :func:`save_world` onto device."""
+    """Load a brickmap world saved by :func:`save_world` onto device.
+    Accepts both the split raw-bricks form and the round-2 all-in-npz."""
     z = np.load(path)
     assert int(z["version"]) == FORMAT_VERSION, "unknown world format"
+    if "bricks" in z.files:
+        bricks = z["bricks"]
+    else:
+        bricks = np.load(path + ".bricks.npy", mmap_mode="r")
     return BrickMap(
         meta=jnp.asarray(z["meta"]),
         brick_idx=jnp.asarray(z["brick_idx"]),
-        bricks=jnp.asarray(z["bricks"]),
+        bricks=jnp.asarray(bricks),
         grid_dims=tuple(int(v) for v in z["grid_dims"]),
         factor=int(z["factor"]),
         coarse_layout=Layout(int(z["coarse_layout"])),

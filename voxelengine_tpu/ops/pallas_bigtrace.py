@@ -836,12 +836,13 @@ def _trace_inner(
 
     # ================= coarse advance (normal + macro skip) ==========
     do_cadv = coarse_adv | ascend
-    cax, cay, caz = _axis_pick3(ctx, cty, ctz)
-    ctc = jnp.where(cax, ctx, jnp.where(cay, cty, ctz))
 
     # macro skip: step the region (or, when the whole super-region is
     # empty, the 4x smaller super-region grid) DDA, re-seed the coarse
-    # DDA at the exit, charge the exact L1 chunk distance to the budget
+    # DDA at the exit, charge the exact L1 chunk distance to the budget.
+    # macro_skip and do_cadv are disjoint per ray, so ONE merged axis
+    # pick serves both: feed it the skip-span t's on skip lanes and the
+    # coarse cell t's elsewhere (round-3 body cut)
     if use_macro:
         # skip-span corner / size in chunk units (8 or 32), computed
         # from the CLAMPED cell and clamped to the grid: the exit face
@@ -861,25 +862,31 @@ def _trace_inner(
         rtx = jnp.where(dx != 0.0, (nbx - sx) / dx, BIG)
         rty = jnp.where(dy != 0.0, (nby - sy) / dy, BIG)
         rtz = jnp.where(dz != 0.0, (nbz - sz) / dz, BIG)
-        rax, ray_, raz = _axis_pick3(rtx, rty, rtz)
-        rt1 = jnp.where(rax, rtx, jnp.where(ray_, rty, rtz))
-        mx = sx + rt1 * dx
-        my = sy + rt1 * dy
-        mz = sz + rt1 * dz
+        mtx = jnp.where(macro_skip, rtx, ctx)
+        mty = jnp.where(macro_skip, rty, cty)
+        mtz = jnp.where(macro_skip, rtz, ctz)
+    else:
+        mtx, mty, mtz = ctx, cty, ctz
+    cax, cay, caz = _axis_pick3(mtx, mty, mtz)
+    tc = jnp.where(cax, mtx, jnp.where(cay, mty, mtz))
+    if use_macro:
+        mx = sx + tc * dx
+        my = sy + tc * dy
+        mz = sz + tc * dz
         # stepped axis: exactly the first cell across the span face;
         # others: floor, clamped into the current span (FP guard)
         skx = jnp.where(
-            rax,
+            cax,
             jnp.where(stx > 0, hix, lox - 1),
             jnp.clip(mx.astype(I32) - (mx < 0.0), lox, hix - 1),
         )
         sky = jnp.where(
-            ray_,
+            cay,
             jnp.where(sty > 0, hiy, loy - 1),
             jnp.clip(my.astype(I32) - (my < 0.0), loy, hiy - 1),
         )
         skz = jnp.where(
-            raz,
+            caz,
             jnp.where(stz > 0, hiz, loz - 1),
             jnp.clip(mz.astype(I32) - (mz < 0.0), loz, hiz - 1),
         )
@@ -888,7 +895,6 @@ def _trace_inner(
         )
     else:
         skx = sky = skz = zeroi
-        rt1 = zero
         skip_l1 = zeroi
 
     new_ccx = jnp.where(macro_skip, skx, jnp.where(do_cadv & cax, ccx + stx, ccx))
@@ -909,9 +915,7 @@ def _trace_inner(
         jnp.where(dz != 0.0, ((new_ccz + (stz > 0)).astype(F32) - sz) / dz, BIG),
         jnp.where(do_cadv & caz, ctz + tdz, ctz),
     )
-    new_centry = jnp.where(
-        macro_skip, rt1, jnp.where(do_cadv, ctc, centry)
-    )
+    new_centry = jnp.where(macro_skip | do_cadv, tc, centry)
 
     new_fine = (in_fine | descend) & ~ascend & ~fine_hit
     def pick3(dsc, stp, new, adv, old):
