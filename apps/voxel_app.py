@@ -94,6 +94,7 @@ def main():
         checkerboard=True,
         projection=Projection.ORTHOGRAPHIC if args.ortho else Projection.PERSPECTIVE,
         tile_order=not args.xla_trace and not args.dense,
+        trace_tile=2048, trace_slots=16,  # round-3 measured flagship config
     )
     env = Environment.default()  # main.cu:58-63
 

@@ -91,6 +91,9 @@ def main():
         tile_order=True,
         trace_tile=int(os.environ.get("BENCH_TILE", "2048")),
         trace_slots=int(os.environ.get("BENCH_SLOTS", "16")),
+        trace_shortlist=int(os.environ.get("BENCH_SL", "0")),
+        trace_stage_steps=int(os.environ.get("BENCH_STAGE", "0")),
+        trace_tail_frac=int(os.environ.get("BENCH_TAILFRAC", "8")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley
@@ -126,7 +129,21 @@ def main():
         got = trace_brickmap_hbm(
             bm, lt, o, d, cfg.max_steps,
             tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            shortlist=cfg.trace_shortlist,
         )
+        if os.environ.get("BENCH_ITERS", "0") == "1":
+            _, iters = trace_brickmap_hbm(
+                bm, lt, o, d, cfg.max_steps,
+                tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+                shortlist=cfg.trace_shortlist, return_iters=True,
+            )
+            it = np.asarray(iters)[::cfg.trace_tile]
+            st = np.asarray(got.steps)
+            log(f"tile iters: mean {it.mean():.0f} p50 {np.percentile(it,50):.0f}"
+                f" p90 {np.percentile(it,90):.0f}"
+                f" p99 {np.percentile(it,99):.0f} max {it.max()}"
+                f" sum {it.sum()}  steps-sum {st.sum()}"
+                f" perfect {st.sum()//cfg.trace_tile}")
         # off by default: measured net-negative on the bench scene (sorted
         # block order breaks screen-adjacency between consecutive kernel
         # tiles, and the persistent line cache rides exactly that)

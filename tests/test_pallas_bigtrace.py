@@ -273,6 +273,41 @@ def test_bigtrace_l2_macro_matches_xla(rng):
     _assert_match(out, ref, atol=1e-5)
 
 
+def test_bigtrace_l3_macro_matches_xla(rng):
+    """L3 macro skips (128-chunk spans over empty 16^3-region blocks)
+    charge exactly the chunk distance the plain walk would: steps, hits,
+    positions all equal the XLA traversal on a world whose far half is
+    entirely empty (so L3 actually fires)."""
+    from voxelengine_tpu.ops.pallas_bigtrace import MACRO2_WORDS
+
+    dense = np.zeros((64, 64, 2048), bool)  # [z, y, x]
+    dense[:, 0:4, 0:512] = rng.random((64, 4, 512)) < 0.5
+    dense[20:30, 10:20, 100:200] = rng.random((10, 10, 100)) < 0.1
+    bm = build_brickmap(
+        BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+    )
+    lt = make_line_table(bm)
+    m3 = np.asarray(lt.macro2)[MACRO2_WORDS:]
+    assert (m3 != -1).any(), "L3 should be real for this grid"
+    # rays start deep in the empty half, pointing back at the occupied end
+    n = 128
+    origins = np.stack([
+        rng.uniform(1600, 2040, n),
+        rng.uniform(2, 60, n),
+        rng.uniform(2, 62, n),
+    ], -1).astype(np.float32)
+    d = np.stack([
+        -np.ones(n), rng.normal(0, 0.1, n), rng.normal(0, 0.1, n)
+    ], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = trace_brickmap(bm, origins, d.astype(np.float32), 1024)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, d.astype(np.float32), 1024,
+        tile=128, num_slots=4, interpret=True,
+    )
+    _assert_match(out, ref)
+
+
 def test_apply_edits_hbm_macro2_refresh(rng):
     """Edits that fill / clear super-regions refresh macro2 exactly like a
     full table rebuild."""

@@ -93,6 +93,9 @@ class RenderConfig:
     # and 32x32-pixel-block ray ordering for cache coherence
     trace_tile: int = 1024
     trace_slots: int = 8
+    # fetch scheduler: 0 = S-way unrolled fetch; K>0 = per-group slot
+    # shortlist (K voted candidates + rotating slot, fused 1-iter descend)
+    trace_shortlist: int = 0
     tile_order: bool = False
     # Pallas straggler compaction (trace_brickmap_hbm_staged): first-pass
     # step budget (0 = single launch at max_steps) and tail-buffer divisor.

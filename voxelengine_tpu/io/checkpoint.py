@@ -142,14 +142,26 @@ def save_line_table(path: str, lt) -> None:
 
 
 def load_line_table(path: str):
-    from voxelengine_tpu.ops.pallas_bigtrace import LineTable
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        MACRO2_WORDS,
+        MACRO3_WORDS,
+        LineTable,
+    )
 
     z = np.load(path)
     assert int(z["version"]) == FORMAT_VERSION, "unknown line-table format"
+    macro2 = np.asarray(z["macro2"])
+    want = MACRO2_WORDS + MACRO3_WORDS
+    if macro2.shape[0] < want:
+        # table cached before a macro level existed: pad all-occupied
+        # (exactly disables the extra level; rebuilding recovers it)
+        macro2 = np.concatenate(
+            [macro2, np.full(want - macro2.shape[0], -1, np.int32)]
+        )
     return LineTable(
         region_lines=jnp.asarray(z["region_lines"]),
         macro=jnp.asarray(z["macro"]),
-        macro2=jnp.asarray(z["macro2"]),
+        macro2=jnp.asarray(macro2),
         num_regions=int(z["num_regions"]),
         region_dims=tuple(int(v) for v in z["region_dims"]),
     )

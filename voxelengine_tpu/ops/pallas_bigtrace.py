@@ -61,6 +61,7 @@ I32 = jnp.int32
 BIG = 3.4e38
 NOLINE = 0x7FFFFFFF  # "no line wanted" sentinel (python int: kernels must not capture tracers)
 MACRO2_WORDS = 8  # L2 macro capacity: 256 super-regions (broadcast-select)
+MACRO3_WORDS = 2  # L3 macro capacity: 64 16^3-region blocks (128-chunk spans)
 
 
 @jax.tree_util.register_dataclass
@@ -77,10 +78,13 @@ class LineTable:
 
     region_lines: jax.Array  # i32[NR * 8, 128]
     macro: jax.Array  # i32[8*ceil(NR/32768), 128] packed region-occupancy bits
-    # L2 macro: occupancy of 4x4x4-region groups ("super-regions", 32^3
-    # chunks), packed into <= MACRO2_WORDS words so the kernel can fetch it
-    # with a broadcast-select chain instead of a gather
-    macro2: jax.Array  # i32[MACRO2_WORDS] (SMEM scalars in the kernel)
+    # L2 macro: occupancy of 4x1x4-region slab groups ("super-regions",
+    # 32x8x32 chunks — flat, because terrain worlds are shallow), packed
+    # into <= MACRO2_WORDS words so the kernel can fetch it with a
+    # broadcast-select chain instead of a gather
+    # words [0:MACRO2_WORDS] = L2, [MACRO2_WORDS:] = L3 (16^3-region
+    # blocks = 128-chunk spans); all-ones words disable a level exactly
+    macro2: jax.Array  # i32[MACRO2_WORDS + MACRO3_WORDS] (SMEM scalars)
     num_regions: int = dataclasses.field(metadata=dict(static=True))
     region_dims: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
@@ -153,30 +157,59 @@ def make_line_table(bm: BrickMap) -> LineTable:
     ).astype(I32)
     macro = macro_words.reshape(nv * 8, 128)
 
-    # L2: super-region (4x4x4 regions = 32^3 chunks) occupancy.  Only built
-    # when it fits the broadcast-select budget; all-occupied otherwise
-    # (the kernel then never L2-skips, which is always correct).
-    srx, sry, srz = -(-rx // 4), -(-ry // 4), -(-rz // 4)
+    # L2: super-region occupancy with ANISOTROPIC 4x1x4-region grouping
+    # (32x8x32 chunks, one region-layer thick): terrain worlds are shallow
+    # (the 8k scene is 16 chunks tall), so cubic 32-chunk blocks always
+    # contain ground and never fire — flat slabs go empty above the
+    # surface, exactly where long horizon rays fly.  Only built when it
+    # fits the broadcast-select budget; all-occupied otherwise (the
+    # kernel then never L2-skips, which is always correct).
+    srx, sry, srz = -(-rx // 4), ry, -(-rz // 4)
     nsr = srx * sry * srz
     if nsr <= MACRO2_WORDS * 32:
         occ_grid = occ_r.reshape(rz, ry, rx)
         occ_grid = jnp.pad(
             occ_grid,
-            ((0, srz * 4 - rz), (0, sry * 4 - ry), (0, srx * 4 - rx)),
+            ((0, srz * 4 - rz), (0, 0), (0, srx * 4 - rx)),
         )
         occ_sr = jnp.any(
-            occ_grid.reshape(srz, 4, sry, 4, srx, 4).transpose(0, 2, 4, 1, 3, 5)
-            .reshape(nsr, 64),
+            occ_grid.reshape(srz, 4, ry, srx, 4).transpose(0, 2, 3, 1, 4)
+            .reshape(nsr, 16),
             axis=1,
         )
-        occ_sr = jnp.concatenate(
+        occ_sr_pad = jnp.concatenate(
             [occ_sr, jnp.zeros((MACRO2_WORDS * 32 - nsr,), jnp.bool_)]
         ).reshape(MACRO2_WORDS, 32)
         macro2 = jnp.sum(
-            jnp.where(occ_sr, jnp.int32(1) << shifts[None, :], 0), axis=1
+            jnp.where(occ_sr_pad, jnp.int32(1) << shifts[None, :], 0), axis=1
         ).astype(I32)
+        # L3: 16x1x16-region blocks (128x8x128-chunk slab spans), derived
+        # from the L2 occupancy (a block = 4x1x4 super-regions); built only
+        # when L2 is real AND it fits the scalar budget
+        s3x, s3y, s3z = -(-rx // 16), ry, -(-rz // 16)
+        ns3 = s3x * s3y * s3z
+        if ns3 <= MACRO3_WORDS * 32:
+            sg = occ_sr.reshape(srz, sry, srx)
+            sg = jnp.pad(
+                sg,
+                ((0, s3z * 4 - srz), (0, 0), (0, s3x * 4 - srx)),
+            )
+            occ3 = jnp.any(
+                sg.reshape(s3z, 4, sry, s3x, 4).transpose(0, 2, 3, 1, 4)
+                .reshape(ns3, 16),
+                axis=1,
+            )
+            occ3 = jnp.concatenate(
+                [occ3, jnp.zeros((MACRO3_WORDS * 32 - ns3,), jnp.bool_)]
+            ).reshape(MACRO3_WORDS, 32)
+            macro3 = jnp.sum(
+                jnp.where(occ3, jnp.int32(1) << shifts[None, :], 0), axis=1
+            ).astype(I32)
+        else:
+            macro3 = jnp.full((MACRO3_WORDS,), -1, I32)
+        macro2 = jnp.concatenate([macro2, macro3])
     else:
-        macro2 = jnp.full((MACRO2_WORDS,), -1, I32)  # all occupied
+        macro2 = jnp.full((MACRO2_WORDS + MACRO3_WORDS,), -1, I32)  # all occ
 
     return LineTable(
         region_lines=region_lines,
@@ -262,17 +295,17 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
     # L2 refresh: recompute each touched super-region's bit from the
     # updated L1 macro words (skipped when L2 is the all-occupied fallback)
     macro2 = lt.macro2
-    srx, sry, srz = -(-rx // 4), -(-ry // 4), -(-rz // 4)
+    srx, sry, srz = -(-rx // 4), ry, -(-rz // 4)
     if srx * sry * srz <= MACRO2_WORDS * 32:
-        srgx, srgy, srgz = cx >> 5, cy >> 5, cz >> 5
+        srgx, srgy, srgz = cx >> 5, cy >> 3, cz >> 5
         sreg = srgx + srx * (srgy + sry * srgz)
         d4x = jnp.arange(4)[:, None, None]
-        d4y = jnp.arange(4)[None, :, None]
+        d4y = jnp.zeros((1, 1, 1), jnp.int32)  # y group is one region
         d4z = jnp.arange(4)[None, None, :]
 
         def body2(i, m2):
             rgx_c = srgx[i] * 4 + d4x
-            rgy_c = srgy[i] * 4 + d4y
+            rgy_c = srgy[i] + d4y
             rgz_c = srgz[i] * 4 + d4z
             valid = (rgx_c < rx) & (rgy_c < ry) & (rgz_c < rz)
             rid = (
@@ -289,6 +322,35 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
             return m2.at[w].set(jax.lax.bitcast_convert_type(nxt, jnp.int32))
 
         macro2 = jax.lax.fori_loop(0, ci.shape[0], body2, macro2)
+
+        # L3 refresh: recompute each touched 16^3-region block's bit from
+        # the just-updated L2 words (a block = 4^3 super-regions); like the
+        # build, L3 is only real when L2 is real
+        s3x, s3y, s3z = -(-rx // 16), ry, -(-rz // 16)
+        if s3x * s3y * s3z <= MACRO3_WORDS * 32:
+            sg3x, sg3y, sg3z = cx >> 7, cy >> 3, cz >> 7
+            sr3 = sg3x + s3x * (sg3y + s3y * sg3z)
+
+            def body3(i, m2):
+                sxc = sg3x[i] * 4 + d4x
+                syc = sg3y[i] + d4y
+                szc = sg3z[i] * 4 + d4z
+                valid = (sxc < srx) & (syc < sry) & (szc < srz)
+                sid = (
+                    jnp.minimum(sxc, srx - 1)
+                    + srx * (jnp.minimum(syc, sry - 1)
+                             + sry * jnp.minimum(szc, srz - 1))
+                )
+                bits = (m2[sid >> 5] >> (sid & 31)) & 1
+                occ = jnp.any((bits == 1) & valid)
+                w = MACRO2_WORDS + (sr3[i] >> 5)
+                b = (sr3[i] & 31).astype(jnp.uint32)
+                cur = jax.lax.bitcast_convert_type(m2[w], jnp.uint32)
+                bit = (jnp.uint32(1) << b).astype(jnp.uint32)
+                nxt = jnp.where(occ, cur | bit, cur & ~bit)
+                return m2.at[w].set(jax.lax.bitcast_convert_type(nxt, jnp.int32))
+
+            macro2 = jax.lax.fori_loop(0, ci.shape[0], body3, macro2)
 
     lt2 = dataclasses.replace(
         lt, macro=macro_flat.reshape(lt.macro.shape),
@@ -582,7 +644,8 @@ def _trace_inner(
      padx, pady, padz, macro, macro_row0, macro2_words) = env
     GX, GY, GZ = grid_dims
     RX, RY, RZ = region_dims
-    SRX, SRY = -(-RX // 4), -(-RY // 4)
+    SRX, SRY = -(-RX // 4), RY  # anisotropic 4x1x4-region L2 grouping
+    SR3X, SR3Y = -(-RX // 16), RY  # 16x1x16-region L3 grouping
     f = factor
     NR = num_regions
     R = sx.shape[0]
@@ -648,17 +711,26 @@ def _trace_inner(
         region_occ = ((mword >> mbit) & 1) == 1
         # L2: super-region occupancy via a broadcast-select chain over
         # <= MACRO2_WORDS scalar words (no gather)
-        sregion = (rgx >> 2) + SRX * ((rgy >> 2) + SRY * (rgz >> 2))
+        sregion = (rgx >> 2) + SRX * (rgy + SRY * (rgz >> 2))
         mw2 = sregion >> 5
         sword = jnp.zeros((R, 128), I32)
         for k in range(MACRO2_WORDS):
             sword = jnp.where(mw2 == k, macro2_words[k], sword)
         sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
+        # L3: 16^3-region blocks (128-chunk spans) in the tail scalars
+        sregion3 = (rgx >> 4) + SR3X * (rgy + SR3Y * (rgz >> 4))
+        mw3 = sregion3 >> 5
+        sword3 = jnp.zeros((R, 128), I32)
+        for k in range(MACRO3_WORDS):
+            sword3 = jnp.where(mw3 == k, macro2_words[MACRO2_WORDS + k], sword3)
+        sregion3_occ = ((sword3 >> (sregion3 & 31)) & 1) == 1
     else:
         region_occ = jnp.ones((R, 128), jnp.bool_)
         sregion_occ = jnp.ones((R, 128), jnp.bool_)
+        sregion3_occ = jnp.ones((R, 128), jnp.bool_)
     macro_skip = coarse_phase & in_range_c & ~region_occ
     skip2 = macro_skip & ~sregion_occ  # wider L2 span (32 chunks)
+    skip3 = skip2 & ~sregion3_occ  # widest L3 span (128 chunks)
 
     # ---- per-ray wanted line + cache residency ----
     meta_lane = local & 127
@@ -849,12 +921,15 @@ def _trace_inner(
         # of a span that sticks out of the grid must be the grid face,
         # or the charged distance would overshoot where the plain walk
         # exits (e.g. a 32-chunk L2 span on a 16-chunk-tall grid)
-        lox = jnp.where(skip2, (clx >> 5) << 5, rgx << 3)
-        loy = jnp.where(skip2, (cly >> 5) << 5, rgy << 3)
-        loz = jnp.where(skip2, (clz >> 5) << 5, rgz << 3)
-        span = jnp.where(skip2, 32, 8)
+        # slab spans: x/z widen with the level, y stays one region (8)
+        lox = jnp.where(skip3, (clx >> 7) << 7,
+                        jnp.where(skip2, (clx >> 5) << 5, rgx << 3))
+        loy = rgy << 3
+        loz = jnp.where(skip3, (clz >> 7) << 7,
+                        jnp.where(skip2, (clz >> 5) << 5, rgz << 3))
+        span = jnp.where(skip3, 128, jnp.where(skip2, 32, 8))
         hix = jnp.minimum(lox + span, GX)
-        hiy = jnp.minimum(loy + span, GY)
+        hiy = jnp.minimum(loy + 8, GY)
         hiz = jnp.minimum(loz + span, GZ)
         nbx = jnp.where(stx > 0, hix, lox).astype(F32)
         nby = jnp.where(sty > 0, hiy, loy).astype(F32)
@@ -1171,7 +1246,9 @@ def _bigtrace_kernel(
     zero = jnp.zeros((R, 128), F32)
     zeroi = jnp.zeros((R, 128), I32)
 
-    macro2_words = tuple(macro2_ref[k] for k in range(MACRO2_WORDS))
+    macro2_words = tuple(
+        macro2_ref[k] for k in range(MACRO2_WORDS + MACRO3_WORDS)
+    )
     env = (sx, sy, sz, dx, dy, dz,
            stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
            padx, pady, padz, macro, macro_row0, macro2_words)
@@ -1417,7 +1494,9 @@ def _rr_kernel(
 
     macro = macro_ref[:]
     macro_row0 = jnp.broadcast_to(macro[0:1, :], (8, 128))
-    macro2_words = tuple(macro2_ref[k] for k in range(MACRO2_WORDS))
+    macro2_words = tuple(
+        macro2_ref[k] for k in range(MACRO2_WORDS + MACRO3_WORDS)
+    )
     inner = functools.partial(
         _trace_inner,
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,

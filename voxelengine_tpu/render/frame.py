@@ -204,6 +204,7 @@ def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
         return trace_brickmap_hbm(
             bm, lt, origins, dirs, max_steps,
             tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            shortlist=cfg.trace_shortlist,
         )
     return trace_brickmap(bm, origins, dirs, max_steps)
 
@@ -268,11 +269,13 @@ def shade_pixels(
                 stage_steps=cfg.trace_stage_steps,
                 tail_frac=cfg.trace_tail_frac,
                 tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+                shortlist=cfg.trace_shortlist,
             )
         else:
             out = trace_brickmap_hbm(
                 bm, lt, origins, dirs, cfg.max_steps,
                 tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+                shortlist=cfg.trace_shortlist,
             )
     elif cfg.staged_trace:
         out: TraceOut = trace_brickmap_staged(
