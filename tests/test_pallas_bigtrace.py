@@ -49,7 +49,9 @@ def _assert_match(out, ref, atol=0.0):
     ), "normal mismatch"
 
 
-@pytest.mark.parametrize("use_macro,shortlist", [(False, 2), (True, 0), (True, 1), (True, 2)])
+@pytest.mark.parametrize(
+    "use_macro,shortlist", [(False, 2), (True, 0), (True, 1), (True, 2), (True, -1)]
+)
 def test_bigtrace_matches_xla_random_world(rng, use_macro, shortlist):
     bm = _world(rng)
     lt = make_line_table(bm)

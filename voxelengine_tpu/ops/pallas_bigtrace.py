@@ -630,6 +630,68 @@ def _stage_shortlist(cache_ref, tags_smem, cand_ref, act, want, rot, *, S, K):
     return fetch
 
 
+def _make_fetch_pervote(cache_ref, tags_smem, cand_ref, rot, *, S):
+    """Per-ITERATION vote fetch (round-4 candidate, ``shortlist=-1``):
+    inside the hot loop, resolve wants to slots, vote each group's min
+    wanted slot, stage it through a scratch store -> scalar read, and
+    serve ONE dynamically-loaded line per group plus the per-round
+    rotating slot.  Zero vote staleness (the per-round shortlist's
+    transition-stall problem) at the price of a store->scalar-read
+    round trip per iteration; the rotating candidate still bounds
+    starvation of non-min slots at S rounds.
+
+    MEASURED DEAD END (round 3, v5e, mid world): 106.3 ms vs the S-way
+    fetch's 47.3 — Mosaic fully serializes the vector store -> scalar
+    read -> dynamic load chain inside the loop (~1.6 us/iteration of
+    pipeline drain); the latency does NOT hide behind vector work.
+    Kept as the measured record; do not re-attempt without a new
+    scalar-staging primitive."""
+    t_rot = tags_smem[rot]
+    l_rot = cache_ref[pl.ds(rot * 8, 8), :]
+    tag_vals = tuple(tags_smem[s] for s in range(S))
+
+    def fetch(row, lane, want_new):
+        R = row.shape[0]
+        cslot = jnp.full((R, 128), -1, I32)
+        for s in range(S):
+            cslot = jnp.where(want_new == tag_vals[s], s, cslot)
+        c1 = jnp.min(jnp.where(cslot >= 0, cslot, S), axis=1, keepdims=True)
+        cand_ref[0:R, :] = jnp.broadcast_to(c1, (R, 128))
+        sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        out = jnp.zeros((R, 128), I32)
+        out2 = jnp.zeros((R, 128), I32)
+        served = jnp.zeros((R, 128), I32)
+        for g in range(R):
+            s1 = jnp.minimum(cand_ref[g, 0], S - 1)
+            cands = (
+                (tags_smem[s1], cache_ref[pl.ds(s1 * 8, 8), :]),
+                (t_rot, l_rot),
+            )
+            lane_rep = jnp.broadcast_to(lane[g, :][None, :], (8, 128))
+            row_rep = jnp.broadcast_to(row[g, :][None, :], (8, 128))
+            row2_rep = (row_rep + 4) & 7
+            wg = want_new[g, :][None, :]
+            acc = jnp.zeros((1, 128), I32)
+            acc2 = jnp.zeros((1, 128), I32)
+            srv = jnp.zeros((1, 128), I32)
+            for tag, line in cands:
+                y = jnp.take_along_axis(line, lane_rep, axis=1)
+                z = jnp.take_along_axis(y, row_rep, axis=0)
+                z2 = jnp.take_along_axis(y, row2_rep, axis=0)
+                m = wg == tag
+                acc = jnp.where(m, z[0:1, :], acc)
+                acc2 = jnp.where(m, z2[0:1, :], acc2)
+                srv = jnp.where(m, 1, srv)
+            out = jnp.where(sub == g, jnp.broadcast_to(acc, (R, 128)), out)
+            out2 = jnp.where(sub == g, jnp.broadcast_to(acc2, (R, 128)), out2)
+            served = jnp.where(
+                sub == g, jnp.broadcast_to(srv, (R, 128)), served
+            )
+        return out, out2, served != 0
+
+    return fetch
+
+
 def _trace_inner(
     env, fetch, carry, *,
     grid_dims, region_dims, num_regions, factor, wpb,
@@ -1272,7 +1334,12 @@ def _bigtrace_kernel(
         )
 
         # ---- inner steps (fetch staging hoisted out of the hot loop) ----
-        if shortlist:
+        if shortlist < 0:
+            rot = jax.lax.rem(it, jnp.int32(S))
+            fetch = _make_fetch_pervote(
+                cache_ref, tags_smem, cand_ref, rot, S=S
+            )
+        elif shortlist:
             rot = jax.lax.rem(it, jnp.int32(S))
             fetch = _stage_shortlist(
                 cache_ref, tags_smem, cand_ref, act, want, rot,
@@ -1665,7 +1732,12 @@ def _rr_kernel(
         )
 
         # ---- inner steps ----
-        if shortlist:
+        if shortlist < 0:
+            rot = jax.lax.rem(it, jnp.int32(S))
+            fetch = _make_fetch_pervote(
+                cache_ref, tags_smem, cand_ref, rot, S=S
+            )
+        elif shortlist:
             rot = jax.lax.rem(it, jnp.int32(S))
             fetch = _stage_shortlist(
                 cache_ref, tags_smem, cand_ref, act2, want, rot,
