@@ -196,7 +196,7 @@ def main():
         data.pixels[...] = np.asarray(to_bgra8(fb))
         frame += 1
         ema = timer.tick()
-        if frame % 30 == 0:
+        if frame % 10 == 0:
             print(f"[{frame}] Avg FPS: {timer.fps:.1f} ({ema:.2f} ms)")
 
     renderer.add_render_event_callback(on_frame)
