@@ -167,9 +167,9 @@ def main():
     # camera drift, like a real fly-camera loop): repeated identical
     # dispatches short-circuit in this environment and read as absurd
     # throughput (measured 0.2 ms/frame for byte-identical batches)
-    def batch(first):
+    def batch(first, count):
         t0 = time.perf_counter()
-        for i in range(first, first + frames):
+        for i in range(first, first + count):
             e = euler + jnp.float32(1e-5) * i
             batch.fb = render_frame(
                 bm, batch.fb, origin, e, env, jnp.int32(i), cfg, fused, lt, perm
@@ -179,11 +179,15 @@ def main():
         # transfer cannot lie (costs one ~60 ms round trip per batch,
         # amortized over the frames and reported as-is)
         batch.checksum = float(jnp.sum(batch.fb))
-        return (time.perf_counter() - t0) * 1000.0 / frames
+        return (time.perf_counter() - t0) * 1000.0 / count
 
     batch.fb = fb
-    log(f"warmup batch: {batch(1):.1f} ms/frame")
-    frame_ms = batch(frames + 1)
+    # a short warmup absorbs the post-host-work stall (observed up to
+    # ~50 s/frame in bad device windows — a full-length warmup batch can
+    # blow the harness timeout for no benefit)
+    warm = min(3, frames)
+    log(f"warmup batch ({warm}): {batch(1, warm):.1f} ms/frame")
+    frame_ms = batch(warm + 1, frames)
     log(f"frame checksum {batch.checksum:.1f}")
     mrays = rays_per_frame / frame_ms / 1000.0
 
