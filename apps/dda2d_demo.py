@@ -85,7 +85,10 @@ def main():
         np.linalg.norm(seg_end[:, :2] - seg_o[:, :2], axis=-1),
         np.nanmin(np.where(tb > 0, tb, np.nan), axis=-1),
     )
-    t_end = np.nan_to_num(t_end, nan=float(W))
+    # axis-parallel rays can leave +/-inf in tb; clamp everything to the
+    # frame diagonal so the int cast below stays defined
+    t_end = np.clip(np.nan_to_num(t_end, nan=float(W), posinf=float(W),
+                                  neginf=0.0), 0.0, 2.0 * W)
     smp = np.linspace(0.0, 1.0, 2 * W)[None, :, None]
     line = seg_o[:, None, :2] + seg_d[:, None, :2] * (t_end[:, None, None] * smp)
     lx = np.clip(line[..., 0].astype(int), 0, W - 1).ravel()

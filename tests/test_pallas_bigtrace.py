@@ -310,6 +310,34 @@ def test_bigtrace_l3_macro_matches_xla(rng):
     _assert_match(out, ref)
 
 
+def test_macro_budget_overflow_reads_occupied(rng, monkeypatch):
+    """When the super-region count exceeds the scalar word budget the
+    level must be DISABLED (read all-occupied), never read as empty —
+    regression for the select-chain default that let 32-chunk spans skip
+    through geometry on over-budget worlds.  Forced here by shrinking the
+    budget to zero so every sregion word index is out of range."""
+    import voxelengine_tpu.ops.pallas_bigtrace as B
+
+    monkeypatch.setattr(B, "MACRO2_WORDS", 0)
+    # the constant is read at TRACE time: drop cached executables so both
+    # this test and later ones trace against their own constant
+    B.make_line_table.clear_cache()
+    B.trace_brickmap_hbm.clear_cache()
+    try:
+        bm = _world(rng)
+        lt = B.make_line_table(bm)
+        assert lt.macro2.shape[0] == B.MACRO3_WORDS  # fallback path taken
+        origins, rays = _rays(rng, 192, bm.world_dims)
+        ref = trace_brickmap(bm, origins, rays, 256)
+        out = B.trace_brickmap_hbm(
+            bm, lt, origins, rays, 256, tile=128, num_slots=4, interpret=True
+        )
+        _assert_match(out, ref)
+    finally:
+        B.make_line_table.clear_cache()
+        B.trace_brickmap_hbm.clear_cache()
+
+
 def test_apply_edits_hbm_macro2_refresh(rng):
     """Edits that fill / clear super-regions refresh macro2 exactly like a
     full table rebuild."""

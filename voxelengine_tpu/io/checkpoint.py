@@ -23,12 +23,20 @@ from voxelengine_tpu.core.layout import Layout
 FORMAT_VERSION = 1
 
 
+def _world_paths(path: str):
+    """Canonical (npz, bricks sidecar) paths for a world checkpoint —
+    callers may pass the base name or the .npz name interchangeably."""
+    npz = path if path.endswith(".npz") else path + ".npz"
+    return npz, npz + ".bricks.npy"
+
+
 def save_world(path: str, bm: BrickMap) -> None:
-    """Serialize a brickmap world: small tables compressed in ``path``
-    (.npz), the multi-GB brick words raw in ``path + '.bricks.npy'`` —
+    """Serialize a brickmap world: small tables compressed in the .npz,
+    the multi-GB brick words raw in a ``.bricks.npy`` sidecar —
     zlib-decompressing ~2 GB costs >10 s of the warm start, while a raw
     .npy mmap-loads in the host->device transfer time."""
-    np.save(path + ".bricks.npy", np.asarray(bm.bricks))
+    path, sidecar = _world_paths(path)
+    np.save(sidecar, np.asarray(bm.bricks))
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
@@ -45,12 +53,13 @@ def save_world(path: str, bm: BrickMap) -> None:
 def load_world(path: str) -> BrickMap:
     """Load a brickmap world saved by :func:`save_world` onto device.
     Accepts both the split raw-bricks form and the round-2 all-in-npz."""
+    path, sidecar = _world_paths(path)
     z = np.load(path)
     assert int(z["version"]) == FORMAT_VERSION, "unknown world format"
     if "bricks" in z.files:
         bricks = z["bricks"]
     else:
-        bricks = np.load(path + ".bricks.npy", mmap_mode="r")
+        bricks = np.load(sidecar, mmap_mode="r")
     return BrickMap(
         meta=jnp.asarray(z["meta"]),
         brick_idx=jnp.asarray(z["brick_idx"]),
@@ -126,6 +135,11 @@ def load_world_orbax(path: str) -> BrickMap:
     )
 
 
+# bump whenever the macro table LAYOUT changes (bit grouping, word
+# packing): 2 = anisotropic 4x1x4 L2 + L3 tail words (round 3)
+LINE_TABLE_LAYOUT_VERSION = 2
+
+
 def save_line_table(path: str, lt) -> None:
     """Serialize a :class:`...ops.pallas_bigtrace.LineTable`'s small side
     tables (region lines + macro levels; the brick lines are a zero-copy
@@ -133,6 +147,7 @@ def save_line_table(path: str, lt) -> None:
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
+        layout_version=LINE_TABLE_LAYOUT_VERSION,
         region_lines=np.asarray(lt.region_lines),
         macro=np.asarray(lt.macro),
         macro2=np.asarray(lt.macro2),
@@ -150,6 +165,10 @@ def load_line_table(path: str):
 
     z = np.load(path)
     assert int(z["version"]) == FORMAT_VERSION, "unknown line-table format"
+    if int(z.get("layout_version", 1)) != LINE_TABLE_LAYOUT_VERSION:
+        # macro bit layout changed since this cache was written: the words
+        # would be silently misinterpreted — force a rebuild
+        raise ValueError("stale line-table layout")
     macro2 = np.asarray(z["macro2"])
     want = MACRO2_WORDS + MACRO3_WORDS
     if macro2.shape[0] < want:
@@ -176,7 +195,10 @@ def line_table_or_build(cache_dir: str, key: str, bm: BrickMap):
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, key + ".lt.npz")
     if os.path.exists(path):
-        return load_line_table(path)
+        try:
+            return load_line_table(path)
+        except ValueError:
+            pass  # stale layout: rebuild below
     lt = make_line_table(bm)
     lt.region_lines.block_until_ready()
     save_line_table(path, lt)

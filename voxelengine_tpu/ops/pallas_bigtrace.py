@@ -775,14 +775,17 @@ def _trace_inner(
         # <= MACRO2_WORDS scalar words (no gather)
         sregion = (rgx >> 2) + SRX * (rgy + SRY * (rgz >> 2))
         mw2 = sregion >> 5
-        sword = jnp.zeros((R, 128), I32)
+        # init ALL-OCCUPIED (-1): a word index beyond the select chain
+        # (possible when nsr exceeds the scalar budget) must disable the
+        # level, never read as empty
+        sword = jnp.full((R, 128), -1, I32)
         for k in range(MACRO2_WORDS):
             sword = jnp.where(mw2 == k, macro2_words[k], sword)
         sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
         # L3: 16^3-region blocks (128-chunk spans) in the tail scalars
         sregion3 = (rgx >> 4) + SR3X * (rgy + SR3Y * (rgz >> 4))
         mw3 = sregion3 >> 5
-        sword3 = jnp.zeros((R, 128), I32)
+        sword3 = jnp.full((R, 128), -1, I32)  # same all-occupied default
         for k in range(MACRO3_WORDS):
             sword3 = jnp.where(mw3 == k, macro2_words[MACRO2_WORDS + k], sword3)
         sregion3_occ = ((sword3 >> (sregion3 & 31)) & 1) == 1
@@ -1364,10 +1367,13 @@ def _bigtrace_kernel(
             zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
             jnp.full((R, 128), -1, I32), zeroi)
 
-    # generous iteration cap: 2*max_steps events + stall slack (shortlist
-    # staleness stalls get extra headroom; the rotating candidate bounds
-    # any single stall at S rounds, and the cond exits early on inactive)
-    iter_limit = ((2 * max_steps + 64) // inner_steps + 64) * (4 if shortlist else 1)
+    # generous iteration cap: 2*max_steps events + stall slack.  Shortlist
+    # modes can in the worst case wait the full S-round rotation per event
+    # burst, so their cap scales with num_slots — the while_loop exits
+    # early on completion, so a large cap costs nothing at runtime
+    iter_limit = ((2 * max_steps + 64) // inner_steps + 64) * (
+        (num_slots + 2) if shortlist else 1
+    )
 
     def outer_cond(c):
         return (c[0] < iter_limit) & jnp.any(c[1] != 0)
@@ -1761,7 +1767,7 @@ def _rr_kernel(
 
     iter_limit = (
         (n_rows + R) * (2 * max_steps + 64) // R // max(inner_steps, 1) + 64
-    ) * (4 if shortlist else 1)
+    ) * ((num_slots + 2) if shortlist else 1)
 
     def cond(c):
         return (c[0] < iter_limit) & (jnp.any(c[12] != 0) | (c[1] < n_rows))

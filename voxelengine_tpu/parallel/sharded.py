@@ -149,22 +149,17 @@ def render_frame_sharded(
         h_main = unblock_local(color[:n_main])
         w_main = unblock_local(write[:n_main])
         halo_ok = py_r[n_main:] >= 0  # device 0 has no global row -1
-        h_halo = color[n_main:][None]
-        w_halo = (write[n_main:] & halo_ok)[None]
-        # pair-select composite (see composite_frame): even target rows take
-        # the row ABOVE on even frames / even columns; h_prev supplies it,
-        # with the halo standing in for the cross-device row
-        ce = (jnp.arange(W) % 2 == 0)[None, :]
-        q = frame_number % 2 == 0
-        h_prev = jnp.concatenate([h_halo, h_main[:-1]], axis=0)
-        w_prev = jnp.concatenate([w_halo, w_main[:-1]], axis=0)
-        src0 = jnp.where(q, h_prev, h_main)
-        m0 = jnp.where(q, ce & w_prev, (~ce) & w_main)
-        m1 = w_main & jnp.where(q, ~ce, ce)
-        pairs = fb_block.reshape(rows_local, 2, W, 3)
-        p0 = jnp.where(m0[..., None], src0, pairs[:, 0])
-        p1 = jnp.where(m1[..., None], h_main, pairs[:, 1])
-        return jnp.stack([p0, p1], axis=1).reshape(2 * rows_local, W, 3)
+        # shared pair-select composite (render.frame): the halo row stands
+        # in for the cross-device predecessor row
+        from voxelengine_tpu.render.frame import checkerboard_pair_select
+
+        h_prev = jnp.concatenate([color[n_main:][None], h_main[:-1]], axis=0)
+        w_prev = jnp.concatenate(
+            [(write[n_main:] & halo_ok)[None], w_main[:-1]], axis=0
+        )
+        return checkerboard_pair_select(
+            fb_block, h_main, w_main, h_prev, w_prev, frame_number
+        )
 
     fb = jax.shard_map(
         tile,

@@ -132,20 +132,36 @@ def composite_frame(
             h, mode="drop"
         )
     # checkerboard: rows' target y = 2*y' + off, off = (x even)+(frame even)
+    # the off == 2 case shifts even columns down one row pair; the global
+    # top's missing source is an all-zero/never-write row
+    h_prev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    w_prev = jnp.concatenate([jnp.zeros_like(w[:1]), w[:-1]], axis=0)
+    return checkerboard_pair_select(
+        framebuffer, h, w, h_prev, w_prev, frame_number
+    )
+
+
+def checkerboard_pair_select(framebuffer, h, w, h_prev, w_prev, frame_number):
+    """Scatter-free checkerboard composite of a pre-remap row image into
+    the framebuffer's row pairs (``y = 2*y' + (x even) + (frame even)``,
+    ``Renderer.cu:186-196``, including the dropped overflow row).
+
+    ``h_prev``/``w_prev`` supply each row's PREDECESSOR pre-remap row
+    (the even-frame ``+2`` source): the single-device path shifts ``h``
+    down one row; the row-sharded path substitutes its cross-device halo
+    row — one implementation serves both (they are asserted equal by
+    ``test_sharded_render_hbm_kernel_matches_single``).
+    """
+    rows, W = w.shape
     ce = (jnp.arange(W) % 2 == 0)[None, :]  # column parity
     q = frame_number % 2 == 0
-    # off == 2 shifts even columns down one row pair; its first row has no
-    # source and its last source row falls off the frame (reference drop)
-    h2 = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
-    w2 = jnp.concatenate([jnp.zeros_like(w[:1]), w[:-1]], axis=0)
-    src0 = jnp.where(q, h2, h)  # even target rows
-    m0 = jnp.where(q, ce & w2, (~ce) & w)
-    src1 = h  # odd target rows
-    m1 = w & jnp.where(q, ~ce, ce)
-    pairs = framebuffer.reshape(H // 2, 2, W, 3)
+    src0 = jnp.where(q, h_prev, h)  # even target rows
+    m0 = jnp.where(q, ce & w_prev, (~ce) & w)
+    m1 = w & jnp.where(q, ~ce, ce)  # odd target rows take h
+    pairs = framebuffer.reshape(rows, 2, W, 3)
     p0 = jnp.where(m0[..., None], src0, pairs[:, 0])
-    p1 = jnp.where(m1[..., None], src1, pairs[:, 1])
-    return jnp.stack([p0, p1], axis=1).reshape(H, W, 3)
+    p1 = jnp.where(m1[..., None], h, pairs[:, 1])
+    return jnp.stack([p0, p1], axis=1).reshape(2 * rows, W, 3)
 
 
 def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None):
