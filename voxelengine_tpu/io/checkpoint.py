@@ -136,8 +136,8 @@ def load_world_orbax(path: str) -> BrickMap:
 
 
 # bump whenever the macro table LAYOUT changes (bit grouping, word
-# packing): 2 = anisotropic 4x1x4 L2 + L3 tail words (round 3)
-LINE_TABLE_LAYOUT_VERSION = 2
+# packing): 3 = word budgets 32+4 (round 3; 2 was 8+2)
+LINE_TABLE_LAYOUT_VERSION = 3
 
 
 def save_line_table(path: str, lt) -> None:

@@ -60,8 +60,12 @@ F32 = jnp.float32
 I32 = jnp.int32
 BIG = 3.4e38
 NOLINE = 0x7FFFFFFF  # "no line wanted" sentinel (python int: kernels must not capture tracers)
-MACRO2_WORDS = 8  # L2 macro capacity: 256 super-regions (broadcast-select)
-MACRO3_WORDS = 2  # L3 macro capacity: 64 16^3-region blocks (128-chunk spans)
+# Macro scalar budgets (SMEM words).  The kernel's select chains are sized
+# STATICALLY to the world's actual super-region count, so raising the
+# budget costs nothing for small worlds and keeps L2/L3 alive on
+# 16k-32k-class worlds (anisotropic grouping: nsr = ceil(rx/4)*ry*ceil(rz/4)).
+MACRO2_WORDS = 32  # L2 capacity: 1024 super-regions
+MACRO3_WORDS = 4  # L3 capacity: 128 16x1x16-region blocks (128-chunk spans)
 
 
 @jax.tree_util.register_dataclass
@@ -775,18 +779,22 @@ def _trace_inner(
         # <= MACRO2_WORDS scalar words (no gather)
         sregion = (rgx >> 2) + SRX * (rgy + SRY * (rgz >> 2))
         mw2 = sregion >> 5
-        # init ALL-OCCUPIED (-1): a word index beyond the select chain
-        # (possible when nsr exceeds the scalar budget) must disable the
-        # level, never read as empty
+        # select chain sized to THIS world's super-region count; init
+        # ALL-OCCUPIED (-1) so any word beyond the chain (over-budget
+        # worlds) disables the level instead of reading as empty
+        nsr = SRX * SRY * (-(-RZ // 4))
+        nw2 = min(MACRO2_WORDS, -(-nsr // 32))
         sword = jnp.full((R, 128), -1, I32)
-        for k in range(MACRO2_WORDS):
+        for k in range(nw2):
             sword = jnp.where(mw2 == k, macro2_words[k], sword)
         sregion_occ = ((sword >> (sregion & 31)) & 1) == 1
-        # L3: 16^3-region blocks (128-chunk spans) in the tail scalars
+        # L3: 16x1x16-region blocks (128-chunk spans) in the tail scalars
         sregion3 = (rgx >> 4) + SR3X * (rgy + SR3Y * (rgz >> 4))
         mw3 = sregion3 >> 5
+        ns3 = SR3X * SR3Y * (-(-RZ // 16))
+        nw3 = min(MACRO3_WORDS, -(-ns3 // 32))
         sword3 = jnp.full((R, 128), -1, I32)  # same all-occupied default
-        for k in range(MACRO3_WORDS):
+        for k in range(nw3):
             sword3 = jnp.where(mw3 == k, macro2_words[MACRO2_WORDS + k], sword3)
         sregion3_occ = ((sword3 >> (sregion3 & 31)) & 1) == 1
     else:
