@@ -28,6 +28,9 @@ WORLDS = {
     "small": (512, 512, 512),
     "mid": (1024, 512, 1024),
     "full": (8192, 512, 8192),
+    # 2x the reference's demonstrated world (README.md:29-31 shows 8k):
+    # exercises the raised L2/L3 macro budgets + unbounded region tables
+    "huge": (16384, 512, 16384),
 }
 
 

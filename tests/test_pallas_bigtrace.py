@@ -420,3 +420,90 @@ def test_rr_kernel_l2_and_truncation(rng):
         rows_inflight=8, num_slots=4, interpret=True,
     )
     _assert_match(out, ref, atol=1e-5)
+
+
+def _sparse_16k_world(rng):
+    """16384x512x16384 @ factor 32 built directly as flat arrays (a dense
+    grid at this scale is infeasible; only the sparse occupied set is
+    materialized, like the compact builder's output).  Grid 512x16x512
+    chunks -> 8192 regions -> 512 super-regions: L2 needs 16 scalar words,
+    double the round-2 budget (MACRO2_WORDS was 8), so this is the
+    regression world for the raised budgets + world-sized select chains."""
+    from voxelengine_tpu.core.brickmap import BrickMap, pack_meta
+
+    gx, gy, gz = 512, 16, 512
+    f = 32
+    occ = np.zeros((gz, gy, gx), bool)  # [cz, cy, cx]
+    occ[248:265, 0, 248:265] = True  # floor pad around world center
+    occ[254:257, 1:6, 254:257] = True  # small tower on it
+    occ[40, 0, 40] = True  # far lone chunk (keeps a distant sregion real)
+    meta = np.zeros(gx * gy * gz, np.int32)
+    flat = occ.reshape(-1)  # linear coarse order is [cz, cy, cx]
+    zero3 = jnp.zeros(3, jnp.int32)
+    full3 = jnp.full(3, 31, jnp.int32)
+    meta[flat] = int(pack_meta(jnp.bool_(True), zero3, full3))
+    brick_idx = np.where(flat, 0, -1).astype(np.int32)
+    bricks = np.full((1, f**3 // 32), 0xFFFFFFFF, np.uint32)  # shared full brick
+    return BrickMap(
+        meta=jnp.asarray(meta),
+        brick_idx=jnp.asarray(brick_idx),
+        bricks=jnp.asarray(bricks),
+        grid_dims=(gx, gy, gz),
+        factor=f,
+        coarse_layout=Layout.LINEAR,
+        brick_layout=Layout.TILED_LINEAR,
+        dense_slots=False,
+    )
+
+
+def test_bigtrace_16k_scale_world(rng):
+    """The flagship kernel stays exact on a 16k x 512 x 16k world — 2x the
+    reference's demonstrated world size (README.md:29-31) — whose L2 macro
+    table overflows the old 8-word budget (512 super-regions -> 16 words).
+    Long horizon rays cross hundreds of empty chunks, so L2/L3 spans do
+    the skipping and their charged distances must still match the plain
+    XLA walk step-for-step."""
+    from voxelengine_tpu.ops.pallas_bigtrace import MACRO2_WORDS, MACRO3_WORDS
+
+    bm = _sparse_16k_world(rng)
+    lt = make_line_table(bm)
+    m2 = np.asarray(lt.macro2)
+    assert MACRO2_WORDS * 32 >= 512 > 8 * 32  # over the round-2 budget
+    assert (m2 != -1).any(), "L2 must be real (not the all-occupied fallback)"
+    assert (np.asarray(lt.macro2)[MACRO2_WORDS:] != -1).any(), "L3 real too"
+
+    n = 128
+    wx, wy, wz = bm.world_dims
+    kinds = rng.integers(0, 3, n)
+    # near rays: above the floor pad, pointing down at it
+    o_near = np.stack([
+        rng.uniform(7940, 8480, n), rng.uniform(80, 400, n),
+        rng.uniform(7940, 8480, n),
+    ], -1)
+    d_near = np.stack([
+        rng.normal(0, 0.3, n), -np.ones(n), rng.normal(0, 0.3, n)
+    ], -1)
+    # horizon rays: from a far corner, at the tower (cross ~300 empty
+    # chunks -> L2/L3 spans fire)
+    o_far = np.stack([
+        rng.uniform(800, 2000, n), rng.uniform(100, 480, n),
+        rng.uniform(800, 2000, n),
+    ], -1)
+    d_far = np.asarray([8192.0, 120.0, 8192.0]) - o_far
+    # sky rays: upward, exit the world without a hit
+    d_sky = np.stack([
+        rng.normal(0, 0.2, n), np.ones(n), rng.normal(0, 0.2, n)
+    ], -1)
+    origins = np.where((kinds == 0)[:, None], o_near, o_far)
+    d = np.where((kinds == 0)[:, None], d_near,
+                 np.where((kinds == 1)[:, None], d_far, d_sky))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origins = origins.astype(np.float32)
+    d = d.astype(np.float32)
+
+    ref = trace_brickmap(bm, origins, d, 1024)
+    assert np.asarray(ref.hit).any(), "scene must produce hits"
+    out = trace_brickmap_hbm(
+        bm, lt, origins, d, 1024, tile=128, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)
