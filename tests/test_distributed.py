@@ -88,3 +88,71 @@ def test_zsharded_render_matches_single_device(rng, mesh):
             bm, fb, origin, euler, env, jnp.int32(i), cfg, mesh
         )
     assert np.allclose(np.asarray(fa), np.asarray(fb), atol=1e-6)
+
+
+# --- replicated-walk distributed tracing through the flagship kernel ---
+
+
+def test_zsharded_hbm_single_slab_geometry_exact(rng, mesh):
+    """All geometry in one z-slab: every ray can only graze its hit slab,
+    so the replicated-walk distributed trace must equal the single-device
+    flagship kernel on EVERY field, steps included (see the design note in
+    parallel/distributed.py for why grazing is the only steps delta)."""
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+    from voxelengine_tpu.parallel.distributed import (
+        make_zsharded_hbm,
+        trace_brickmap_hbm_zsharded,
+    )
+
+    dense = np.zeros((64, 64, 64), bool)  # [z, y, x]
+    dense[16:24, :, :] = rng.random((8, 64, 64)) < 0.1  # one z-slab only
+    bm = build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR)
+    n = 1024
+    origins = (rng.random((n, 3)) * 120 - 30).astype(np.float32)
+    t = (rng.random((n, 3)) * 64).astype(np.float32)
+    d = (t - origins)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origins, d = jnp.asarray(origins), jnp.asarray(d.astype(np.float32))
+
+    lt = make_line_table(bm)
+    ref = trace_brickmap_hbm(bm, lt, origins, d, 512, tile=256, num_slots=4)
+    zw = make_zsharded_hbm(bm, 8)
+    out = trace_brickmap_hbm_zsharded(zw, origins, d, mesh, 512, tile=256, num_slots=4)
+
+    hr, ho = np.asarray(ref.hit), np.asarray(out.hit)
+    assert hr.any() and (hr == ho).all()
+    assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
+    m = hr
+    assert np.array_equal(np.asarray(ref.position)[m], np.asarray(out.position)[m])
+    assert np.array_equal(np.asarray(ref.normal)[m], np.asarray(out.normal)[m])
+
+
+def test_zsharded_hbm_random_world_hits_exact(rng, mesh):
+    """Random multi-slab world: hits, positions and normals equal the
+    single-device kernel exactly; steps are the hit-owner's charge, which
+    never exceeds the global walk's (foreign grazes charge as empty)."""
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+    from voxelengine_tpu.parallel.distributed import (
+        make_zsharded_hbm,
+        trace_brickmap_hbm_zsharded,
+    )
+
+    bm, origins, d = _world_and_rays(rng)
+    lt = make_line_table(bm)
+    ref = trace_brickmap_hbm(bm, lt, origins, d, 512, tile=256, num_slots=4)
+    zw = make_zsharded_hbm(bm, 8)
+    out = trace_brickmap_hbm_zsharded(zw, origins, d, mesh, 512, tile=256, num_slots=4)
+
+    hr, ho = np.asarray(ref.hit), np.asarray(out.hit)
+    assert hr.any() and (hr == ho).all(), (
+        f"hit mismatch at {np.flatnonzero(hr != ho)[:8]}"
+    )
+    m = hr
+    assert np.array_equal(np.asarray(ref.position)[m], np.asarray(out.position)[m])
+    assert np.array_equal(np.asarray(ref.normal)[m], np.asarray(out.normal)[m])
+    assert (np.asarray(out.steps) <= np.asarray(ref.steps)).all()
+    # the deltas are exactly the foreign-slab grazes; this world has floor
+    # geometry in every slab so grazing is common — still, rays that hit
+    # in their first occupied slab match exactly
+    eq = (np.asarray(out.steps) == np.asarray(ref.steps)).mean()
+    assert eq > 0.2, f"steps equal on only {eq:.0%} of rays"
