@@ -255,6 +255,7 @@ def build_brickmap_terrain_compact(
     octaves: int = 32,
     brick_layout: Layout = Layout.TILED_LINEAR,
     bucket: int = 512,
+    host_stage: Optional[bool] = None,
 ) -> BrickMap:
     """Device-side terrain build that goes *directly* to compact indirection,
     never materializing the O(volume) dense brick table.
@@ -272,6 +273,14 @@ def build_brickmap_terrain_compact(
     ``bucket``: kept-chunk counts are padded up to a multiple of this so the
     per-slab gather compiles for only a handful of shapes (remote compiles
     through the tunneled device link are expensive).
+
+    ``host_stage``: pull each slab's kept bricks to the host and upload the
+    assembled table once, instead of accumulating slab parts on device and
+    concatenating there (which peaks at 2x the brick table — the 16k x 512
+    x 16k world's ~7.5 GB table OOMs a 16 GB chip that way).  Default:
+    auto-on for worlds whose chunk plane exceeds 200k chunks (16k-class;
+    the 8k world keeps the all-device path).  Costs one-time d2h bandwidth
+    on a build that is disk-cached anyway.
 
     Matches the reference's world exactly (same worldgen + reduction as the
     dense path; covered by tests against :func:`build_brickmap_terrain`).
@@ -306,6 +315,8 @@ def build_brickmap_terrain_compact(
     def take_rows(words, order, k: int):
         return jnp.take(words, order[:k], axis=0)
 
+    if host_stage is None:
+        host_stage = gx * gz >= 200_000
     per_slab = gy * gx
     occ_parts, bmin_parts, bmax_parts = [], [], []
     slot_parts, brick_parts = [], []
@@ -317,7 +328,8 @@ def build_brickmap_terrain_compact(
         cnt = int(keep_h.sum())
         if cnt:
             k = min(per_slab, -(-cnt // bucket) * bucket)
-            brick_parts.append(take_rows(words, order, k)[:cnt])
+            part = take_rows(words, order, k)[:cnt]
+            brick_parts.append(np.asarray(part) if host_stage else part)
         slots = np.full((per_slab,), -1, np.int32)
         slots[occ_h & ~keep_h] = 0
         slots[keep_h] = next_slot + np.arange(cnt, dtype=np.int32)
@@ -331,7 +343,12 @@ def build_brickmap_terrain_compact(
     bmn = jnp.asarray(np.maximum(np.concatenate(bmin_parts), 0))
     bmx = jnp.asarray(np.maximum(np.concatenate(bmax_parts), 0))
     meta = pack_meta(occ, bmn, bmx)
-    bricks = jnp.concatenate([full_dev[None, :]] + brick_parts, axis=0)
+    if host_stage:
+        bricks = jnp.asarray(
+            np.concatenate([full_words[None, :]] + brick_parts, axis=0)
+        )
+    else:
+        bricks = jnp.concatenate([full_dev[None, :]] + brick_parts, axis=0)
     return BrickMap(
         meta=meta,
         brick_idx=jnp.asarray(np.concatenate(slot_parts)),
