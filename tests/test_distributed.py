@@ -156,3 +156,32 @@ def test_zsharded_hbm_random_world_hits_exact(rng, mesh):
     # in their first occupied slab match exactly
     eq = (np.asarray(out.steps) == np.asarray(ref.steps)).mean()
     assert eq > 0.2, f"steps equal on only {eq:.0%} of rays"
+
+
+def test_zsharded_render_hbm_matches_single(rng, mesh):
+    """render_frame_zsharded(zw=...) — the distributed-memory frame path
+    through the flagship kernel — produces the same frame as the
+    single-device render (primary-ray mode; hit/pos/normal drive shading
+    and are exact on this path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+    from voxelengine_tpu.parallel.distributed import (
+        make_zsharded_hbm,
+        render_frame_zsharded,
+    )
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm, _, _ = _world_and_rays(rng)
+    cfg = RenderConfig(width=64, height=32, checkerboard=True)
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 48.0, 32.0], jnp.float32)
+    euler = jnp.asarray([-0.6, 0.4, 0.0], jnp.float32)
+
+    lt = make_line_table(bm)
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                       jnp.int32(0), cfg, lt=lt)
+    zw = jax.device_put(make_zsharded_hbm(bm, 8), NamedSharding(mesh, P("shards")))
+    out = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler, env,
+                                jnp.int32(0), cfg, mesh, zw=zw)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))

@@ -194,6 +194,7 @@ def render_frame_zsharded(
     frame_number,
     cfg,
     mesh: Mesh,
+    zw=None,
 ) -> jax.Array:
     """``render_frame`` over a z-slab-sharded world: the distributed-memory
     frame entry (the world is partitioned across the mesh; only ray state
@@ -201,6 +202,13 @@ def render_frame_zsharded(
     semantics for the primary-ray render modes; secondary-trace shading
     (shadow rays, AO) would need further distributed trace rounds and is
     not supported on this path.
+
+    ``zw``: a :class:`ZShardedHBM` world — trace through the flagship HBM
+    Pallas kernel via the replicated-walk path instead of the XLA
+    migration loop (``bm`` is then only used as a donation-free pytree
+    placeholder and may be the same brickmap the world was sharded from).
+    Frames are identical up to the documented steps delta, which only the
+    steps-debug view renders.
     """
     from voxelengine_tpu.render.frame import (
         composite_frame,
@@ -212,7 +220,12 @@ def render_frame_zsharded(
         "zsharded render: secondary-trace shading unsupported"
     )
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
-    out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
+    if zw is not None:
+        out = trace_brickmap_hbm_zsharded(
+            zw, origins, dirs, mesh, cfg.max_steps
+        )
+    else:
+        out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
     color, write = shade_traced(
         None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
     )
