@@ -20,6 +20,7 @@ where vs_baseline is relative to the 1 Gray/s north-star target
 
 Env knobs:
   BENCH_WORLD=small    use a 1024^3 world (quick sanity runs)
+  BENCH_WORLD=huge     16384 x 512 x 16384 (2x the reference's demo world)
   BENCH_FRAMES=N       timed frames (default 8)
   BENCH_BACKEND=xla    use the round-1 staged XLA traversal instead
   BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 16)
@@ -63,9 +64,11 @@ def main():
     )
 
     log(f"devices: {jax.devices()}")
-    small = os.environ.get("BENCH_WORLD", "full") == "small"
+    world = os.environ.get("BENCH_WORLD", "full")
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    dims = (1024, 1024, 1024) if small else (8192, 512, 8192)
+    dims = {"small": (1024, 1024, 1024),
+            "full": (8192, 512, 8192),
+            "huge": (16384, 512, 16384)}[world]
     frames = int(os.environ.get("BENCH_FRAMES", "8"))
 
     t0 = time.perf_counter()
@@ -109,8 +112,17 @@ def main():
         lt = line_table_or_build(".world_cache", key + "_lt1", bm)
         lt.region_lines.block_until_ready()
         log(f"line table: {time.perf_counter()-t0:.1f}s; "
-            f"{lt.region_lines.nbytes/1e6:.1f} MB side tables "
-            f"(brick lines are a zero-copy view), {lt.num_regions} regions")
+            f"{lt.region_lines.nbytes/1e6:.1f} MB side tables, "
+            f"{lt.num_regions} regions")
+        # one-time brick-line relayout: without this every frame dispatch
+        # re-materializes ~2x the brick table as HLO temps (16k OOMs)
+        from voxelengine_tpu.ops.pallas_bigtrace import materialize_brick_lines
+
+        t0 = time.perf_counter()
+        lt = materialize_brick_lines(bm, lt)
+        lt.brick_lines.block_until_ready()
+        log(f"brick lines: {time.perf_counter()-t0:.1f}s "
+            f"({lt.brick_lines.nbytes/1e9:.2f} GB materialized)")
     else:
         fused = make_fused_table(bm)
 
@@ -213,7 +225,8 @@ def main():
     if diffs > steps.size // 10000:
         log(f"WARNING: hit diffs above 0.01% tolerance ({diffs})")
 
-    metric = "primary_mrays_per_s_1080p_checkerboard_" + ("1k" if small else "8k") + "_world"
+    metric = ("primary_mrays_per_s_1080p_checkerboard_"
+              + {"small": "1k", "full": "8k", "huge": "16k"}[world] + "_world")
     print(json.dumps({
         "metric": metric,
         "value": round(mrays, 3),

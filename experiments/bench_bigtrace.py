@@ -69,6 +69,12 @@ def main():
     lt = make_line_table(bm)
     lt.region_lines.block_until_ready()
     print(f"line table: {time.perf_counter()-t0:.1f}s  side tables {lt.region_lines.nbytes/1e6:.1f} MB  regions {lt.num_regions}", flush=True)
+    from voxelengine_tpu.ops.pallas_bigtrace import materialize_brick_lines
+
+    t0 = time.perf_counter()
+    lt = materialize_brick_lines(bm, lt)
+    lt.brick_lines.block_until_ready()
+    print(f"brick lines: {time.perf_counter()-t0:.1f}s ({lt.brick_lines.nbytes/1e9:.2f} GB)", flush=True)
 
     # camera rays: half-field 1080p-equivalent, from a hill looking across
     cfg = RenderConfig(width=1920, height=1080 // 2, checkerboard=False,

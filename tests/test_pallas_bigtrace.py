@@ -507,3 +507,52 @@ def test_bigtrace_16k_scale_world(rng):
         bm, lt, origins, d, 1024, tile=128, num_slots=4, interpret=True
     )
     _assert_match(out, ref)
+
+
+def test_materialized_brick_lines_parity(rng):
+    """Tracing through materialize_brick_lines == the in-jit view (the
+    16k-enabling path: the 'zero-copy' view actually costs a full-table
+    relayout per dispatch, so big worlds attach the lines once)."""
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        brick_lines_view,
+        materialize_brick_lines,
+    )
+
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    ltm = materialize_brick_lines(bm, lt)
+    assert np.array_equal(
+        np.asarray(ltm.brick_lines), np.asarray(brick_lines_view(bm))
+    )
+    origins, rays = _rays(rng, 256, bm.world_dims)
+    ref = trace_brickmap_hbm(
+        bm, lt, origins, rays, 256, tile=256, num_slots=4, interpret=True
+    )
+    out = trace_brickmap_hbm(
+        bm, ltm, origins, rays, 256, tile=256, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)
+
+
+def test_apply_edits_hbm_syncs_brick_lines(rng):
+    """apply_edits_hbm keeps attached brick lines identical to a fresh
+    materialization of the edited brickmap (O(edits) word rewrites)."""
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        apply_edits_hbm,
+        brick_lines_view,
+        materialize_brick_lines,
+    )
+
+    dense = rng.random((32, 32, 32)) < 0.05
+    grid = BitGrid.from_dense(dense)
+    bm = build_brickmap(grid, 8, coarse_layout=Layout.LINEAR)  # dense slots
+    lt = materialize_brick_lines(bm, make_line_table(bm))
+    x = jnp.asarray(rng.integers(0, 32, 16), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 32, 16), jnp.int32)
+    z = jnp.asarray(rng.integers(0, 32, 16), jnp.int32)
+    val = jnp.asarray(rng.integers(0, 2, 16).astype(bool))
+    bm2, lt2 = apply_edits_hbm(bm, lt, x, y, z, val)
+    assert np.array_equal(
+        np.asarray(lt2.brick_lines), np.asarray(brick_lines_view(bm2))
+    )

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +82,13 @@ class LineTable:
 
     region_lines: jax.Array  # i32[NR * 8, 128]
     macro: jax.Array  # i32[8*ceil(NR/32768), 128] packed region-occupancy bits
+    # OPTIONAL materialized brick lines (see materialize_brick_lines):
+    # the in-jit "zero-copy" view is NOT free on big worlds — XLA cannot
+    # alias the [N, wpb] -> [N*8, 128] reshape (the (8,128) tilings
+    # interleave differently), so every trace dispatch materializes ~2x
+    # the brick table as HLO temps (21.4 GB at 16k: an OOM; ~3.6 GB of
+    # per-frame copy traffic at 8k).  When set, the kernel reads this
+    # array directly and the per-dispatch relayout disappears.
     # L2 macro: occupancy of 4x1x4-region slab groups ("super-regions",
     # 32x8x32 chunks — flat, because terrain worlds are shallow), packed
     # into <= MACRO2_WORDS words so the kernel can fetch it with a
@@ -91,17 +98,31 @@ class LineTable:
     macro2: jax.Array  # i32[MACRO2_WORDS + MACRO3_WORDS] (SMEM scalars)
     num_regions: int = dataclasses.field(metadata=dict(static=True))
     region_dims: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    brick_lines: Optional[jax.Array] = None  # i32[NBL * 8, 128] (see above)
 
 
 def brick_lines_view(bm: BrickMap) -> jax.Array:
-    """``bm.bricks`` as i32 brick lines ``[NBL * 8, 128]`` — a pure
-    bitcast + reshape (zero-copy under jit; a pad copy only when the word
-    count is not line-aligned, i.e. small non-factor-32 worlds)."""
+    """``bm.bricks`` as i32 brick lines ``[NBL * 8, 128]``.
+
+    NOT free under jit despite being bitcast + reshape: XLA assigns both
+    shapes (8,128)-tiled layouts whose physical orders differ (8
+    consecutive bricks interleave within a [N, wpb] tile), so each
+    dispatch that traces through this view pays a full-table relayout
+    copy.  Use :func:`materialize_brick_lines` to pay it once per world.
+    """
     bw = jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)
     padw = (-bw.shape[0]) % 1024
     if padw:
         bw = jnp.concatenate([bw, jnp.zeros((padw,), I32)])
     return bw.reshape(-1, 128)
+
+
+def materialize_brick_lines(bm: BrickMap, lt: LineTable) -> LineTable:
+    """Return ``lt`` with the brick-line form of ``bm.bricks`` materialized
+    on device (one table-sized copy, paid once instead of per dispatch —
+    mandatory at 16k scale where the per-dispatch temps alone exceed HBM).
+    ``apply_edits_hbm`` keeps the materialized lines in sync (O(edits))."""
+    return dataclasses.replace(lt, brick_lines=jax.jit(brick_lines_view)(bm))
 
 
 @jax.jit
@@ -356,9 +377,18 @@ def apply_edits_hbm(bm: BrickMap, lt: LineTable, x, y, z, value):
 
             macro2 = jax.lax.fori_loop(0, ci.shape[0], body3, macro2)
 
+    # materialized brick lines (if attached) stay in sync: rewrite the K
+    # edited words at their line coordinates (donated -> in-place)
+    bl = lt.brick_lines
+    if bl is not None:
+        slot = bm2.brick_idx[ci]
+        flat = slot * wpb + word_col
+        bl = bl.at[flat >> 7, flat & 127].set(
+            jax.lax.bitcast_convert_type(bm2.bricks[slot, word_col], I32)
+        )
     lt2 = dataclasses.replace(
         lt, macro=macro_flat.reshape(lt.macro.shape),
-        region_lines=lines, macro2=macro2,
+        region_lines=lines, macro2=macro2, brick_lines=bl,
     )
     return bm2, lt2
 
@@ -1524,7 +1554,8 @@ def trace_brickmap_hbm(
             pltpu.VMEM((max(shortlist, 1) * rows_per_tile, 128), I32),  # votes
         ],
         interpret=interpret,
-    )(lt.macro, lt.macro2, *ins, lt.region_lines, brick_lines_view(bm))
+    )(lt.macro, lt.macro2, *ins, lt.region_lines,
+      lt.brick_lines if lt.brick_lines is not None else brick_lines_view(bm))
 
     flags = outs[0].reshape(-1)[:n]
     hit = (flags & 1) == 1
@@ -1901,7 +1932,8 @@ def trace_brickmap_hbm_rr(
             pltpu.VMEM((max(shortlist, 1) * R, 128), I32),  # shortlist votes
         ],
         interpret=interpret,
-    )(lt.macro, lt.macro2, rays_flat, lt.region_lines, brick_lines_view(bm))
+    )(lt.macro, lt.macro2, rays_flat, lt.region_lines,
+      lt.brick_lines if lt.brick_lines is not None else brick_lines_view(bm))
 
     o = out.reshape(n_rows, 8, 128)
     bitf = lambda v: jax.lax.bitcast_convert_type(v, F32)  # noqa: E731
