@@ -78,7 +78,27 @@ def main():
     # key pins dims/factor/octaves; worldgen is deterministic and bit-exact
     # (and verified against the golden C++ generator in tests).
     key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o32_v1"
-    if os.environ.get("BENCH_WORLD_CACHE", "1") == "1":
+    bricks_host = None
+    if world == "huge" and backend == "pallas":
+        # 16k-class flow: raw bricks (7.6 GB) + brick lines (7.6 GB)
+        # cannot both sit in 16 GB HBM, and the kernel only reads the
+        # LINE form — keep the raw table on the host (memmap of the disk
+        # cache) and upload only the host-relayouted lines below
+        from voxelengine_tpu.io.checkpoint import (
+            load_world_host_bricks,
+            save_world,
+        )
+
+        path = os.path.join(".world_cache", key + ".npz")
+        if not os.path.exists(path):
+            os.makedirs(".world_cache", exist_ok=True)
+            built = build_brickmap_terrain_compact(dims, 32)
+            built.meta.block_until_ready()
+            log(f"one-time 16k build: {time.perf_counter()-t0:.1f}s")
+            save_world(path, built)
+            del built
+        bm, bricks_host = load_world_host_bricks(path)
+    elif os.environ.get("BENCH_WORLD_CACHE", "1") == "1":
         from voxelengine_tpu.io.checkpoint import generate_or_load
 
         bm = generate_or_load(".world_cache", key,
@@ -87,7 +107,9 @@ def main():
         bm = build_brickmap_terrain_compact(dims, 32)
     bm.meta.block_until_ready()
     log(f"world {dims} compact build/load: {time.perf_counter()-t0:.1f}s; "
-        f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB)")
+        f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB"
+        + (" on device)" if bricks_host is None
+           else f"; {bricks_host.nbytes/1e9:.2f} GB host-resident)"))
 
     cfg = RenderConfig(
         width=1920, height=1080, checkerboard=True,
@@ -116,10 +138,23 @@ def main():
             f"{lt.num_regions} regions")
         # one-time brick-line relayout: without this every frame dispatch
         # re-materializes ~2x the brick table as HLO temps (16k OOMs)
-        from voxelengine_tpu.ops.pallas_bigtrace import materialize_brick_lines
-
         t0 = time.perf_counter()
-        lt = materialize_brick_lines(bm, lt)
+        if bricks_host is not None:
+            # host relayout (zero-copy memmap view) + one h2d upload:
+            # the raw brick table never touches HBM
+            import dataclasses as _dc
+
+            from voxelengine_tpu.ops.pallas_bigtrace import host_brick_lines
+
+            lt = _dc.replace(
+                lt, brick_lines=jnp.asarray(host_brick_lines(bricks_host))
+            )
+        else:
+            from voxelengine_tpu.ops.pallas_bigtrace import (
+                materialize_brick_lines,
+            )
+
+            lt = materialize_brick_lines(bm, lt)
         lt.brick_lines.block_until_ready()
         log(f"brick lines: {time.perf_counter()-t0:.1f}s "
             f"({lt.brick_lines.nbytes/1e9:.2f} GB materialized)")
@@ -215,6 +250,18 @@ def main():
         )
     # fused=None on the pallas path: the verify pass gathers meta and brick
     # words separately rather than allocating a second O(world) table
+    if bricks_host is not None:
+        # phase swap: free the 7.6 GB lines, upload the real bricks for
+        # the XLA verify traversal (they never coexist on device)
+        lt = None
+        import dataclasses as _dc
+        import gc
+
+        gc.collect()
+        t0 = time.perf_counter()
+        bm = _dc.replace(bm, bricks=jnp.asarray(bricks_host))
+        bm.bricks.block_until_ready()
+        log(f"bricks uploaded for verify: {time.perf_counter()-t0:.1f}s")
     ref = trace_brickmap(bm, o, d, cfg.max_steps, fused=fused)
     diffs = int((np.asarray(ref.hit) != np.asarray(got.hit)).sum())
     steps = np.asarray(got.steps)

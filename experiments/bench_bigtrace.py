@@ -52,10 +52,29 @@ def main():
     import os as _os
 
     t0 = time.perf_counter()
-    if _os.environ.get("WORLD_CACHE", "0") == "1":
+    key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o{octaves}_v1"
+    bricks_host = None
+    huge_world = world == "huge"
+    if huge_world:
+        # 16k-class: bricks + lines can't both fit on device — keep the
+        # raw table host-side (see bench.py / host_brick_lines)
+        from voxelengine_tpu.io.checkpoint import (
+            load_world_host_bricks,
+            save_world,
+        )
+
+        path = _os.path.join(".world_cache", key + ".npz")
+        if not _os.path.exists(path):
+            _os.makedirs(".world_cache", exist_ok=True)
+            built = build_brickmap_terrain_compact(dims, 32, octaves=octaves)
+            built.meta.block_until_ready()
+            print(f"one-time build: {time.perf_counter()-t0:.1f}s", flush=True)
+            save_world(path, built)
+            del built
+        bm, bricks_host = load_world_host_bricks(path)
+    elif _os.environ.get("WORLD_CACHE", "0") == "1":
         from voxelengine_tpu.io.checkpoint import generate_or_load
 
-        key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o{octaves}_v1"
         bm = generate_or_load(
             ".world_cache", key,
             lambda: build_brickmap_terrain_compact(dims, 32, octaves=octaves),
@@ -63,16 +82,30 @@ def main():
     else:
         bm = build_brickmap_terrain_compact(dims, 32, octaves=octaves)
     bm.meta.block_until_ready()
-    print(f"build: {time.perf_counter()-t0:.1f}s  bricks {bm.bricks.shape} "
-          f"({bm.bricks.nbytes/1e6:.0f} MB)", flush=True)
+    print(f"build: {time.perf_counter()-t0:.1f}s  bricks "
+          f"{bricks_host.shape if bricks_host is not None else bm.bricks.shape}"
+          f" ({(bricks_host if bricks_host is not None else bm.bricks).nbytes/1e6:.0f} MB)",
+          flush=True)
     t0 = time.perf_counter()
-    lt = make_line_table(bm)
+    from voxelengine_tpu.io.checkpoint import line_table_or_build
+
+    lt = line_table_or_build(".world_cache", key + "_lt1", bm)
     lt.region_lines.block_until_ready()
     print(f"line table: {time.perf_counter()-t0:.1f}s  side tables {lt.region_lines.nbytes/1e6:.1f} MB  regions {lt.num_regions}", flush=True)
-    from voxelengine_tpu.ops.pallas_bigtrace import materialize_brick_lines
 
     t0 = time.perf_counter()
-    lt = materialize_brick_lines(bm, lt)
+    if bricks_host is not None:
+        import dataclasses as _dc
+
+        from voxelengine_tpu.ops.pallas_bigtrace import host_brick_lines
+
+        lt = _dc.replace(
+            lt, brick_lines=jnp.asarray(host_brick_lines(bricks_host))
+        )
+    else:
+        from voxelengine_tpu.ops.pallas_bigtrace import materialize_brick_lines
+
+        lt = materialize_brick_lines(bm, lt)
     lt.brick_lines.block_until_ready()
     print(f"brick lines: {time.perf_counter()-t0:.1f}s ({lt.brick_lines.nbytes/1e9:.2f} GB)", flush=True)
 
@@ -158,6 +191,33 @@ def main():
             print(f"  tile iterations: mean {it.mean():.0f} p50 {np.percentile(it,50):.0f} "
                   f"p99 {np.percentile(it,99):.0f} max {it.max()}  "
                   f"sum {it.sum()} (steps-sum {steps.sum()})", flush=True)
+        if "--phases" in sys.argv and len(vals) < 6:
+            # where do tile iterations go?  diag build: per-ray phase
+            # counters (results verified identical to the production build)
+            _, ph = trace_brickmap_hbm(
+                bm, lt, o, d, 2048, return_phases=True, **kw
+            )
+            ph = {k: np.asarray(v) for k, v in ph.items()}
+            it = ph["iters"][::tile].astype(np.int64)
+            rows = it.size
+            tot_slots = int(it.sum()) * tile  # lane-iterations available
+            active = sum(
+                int(ph[k].sum())
+                for k in ("stall", "mskip", "cadv", "pend", "desc",
+                          "fstep", "asc")
+            )
+            print(f"  phase mix (lane-iterations, {rows} tiles, "
+                  f"{tot_slots/1e6:.1f}M lane-slots):", flush=True)
+            for k in ("stall", "mskip", "cadv", "pend", "desc", "fstep",
+                      "step2", "asc"):
+                s = int(ph[k].sum())
+                print(f"    {k:6s} {s/1e6:9.2f}M  {100*s/tot_slots:5.1f}% of slots",
+                      flush=True)
+            print(f"    active {active/1e6:9.2f}M  {100*active/tot_slots:5.1f}%"
+                  f"  (idle-after-done {100*(1-active/tot_slots):.1f}%)",
+                  flush=True)
+            dbl = ph["step2"].sum() / max(ph["fstep"].sum(), 1)
+            print(f"    double-step rate {100*dbl:.1f}% of fine steps", flush=True)
         if "--sorted" in sys.argv:
             # ideal temporal-sort: reorder rays by this trace's own step
             # counts (a real renderer would use last frame's buffer) and
@@ -178,7 +238,16 @@ def main():
                 lockstep_stats(s2, t)
 
     if "--verify" in sys.argv:
-        fused = make_fused_table(bm)
+        if bricks_host is not None:
+            # swap tables: free the lines, upload the real bricks
+            lt = None
+            import dataclasses as _dc
+            import gc
+            gc.collect()
+            bm = _dc.replace(bm, bricks=jnp.asarray(bricks_host))
+            fused = None  # full fused table would double memory at 16k
+        else:
+            fused = make_fused_table(bm)
         t0 = time.perf_counter()
         ref = trace_brickmap(bm, o, d, 2048, fused=fused)
         ref.hit.block_until_ready()

@@ -556,3 +556,36 @@ def test_apply_edits_hbm_syncs_brick_lines(rng):
     assert np.array_equal(
         np.asarray(lt2.brick_lines), np.asarray(brick_lines_view(bm2))
     )
+
+
+def test_bigtrace_phase_counters(rng):
+    """return_phases leaves results untouched and its 8 counters account
+    for every active lane-iteration (the round-3/4 perf-analysis build)."""
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 512, bm.world_dims)
+    ref = trace_brickmap_hbm(
+        bm, lt, origins, rays, 256, tile=256, num_slots=4, interpret=True
+    )
+    out, ph = trace_brickmap_hbm(
+        bm, lt, origins, rays, 256, tile=256, num_slots=4, interpret=True,
+        return_phases=True,
+    )
+    _assert_match(out, ref)
+    ph = {k: np.asarray(v).astype(np.int64) for k, v in ph.items()}
+    # disjoint phases sum to the iterations each ray spent active (each
+    # active iteration lands in exactly one bucket; step2 rides fstep);
+    # rays never exceed their tile's iteration count
+    active = sum(
+        ph[k] for k in ("stall", "mskip", "cadv", "pend", "desc", "fstep", "asc")
+    )
+    assert (active <= ph["iters"]).all()
+    assert (ph["step2"] <= ph["fstep"]).all()
+    # every traced ray that did any work shows up in the accounting
+    worked = np.asarray(ref.steps) > 0
+    assert (active[worked] > 0).all()
+    # fine hits require at least one descend; descends need a pend
+    # iteration first (non-fused fetch) on every hit ray
+    hits = np.asarray(ref.hit)
+    assert (ph["desc"][hits] >= 1).all()
+    assert (ph["pend"][hits] >= 1).all()

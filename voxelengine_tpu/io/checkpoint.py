@@ -72,6 +72,37 @@ def load_world(path: str) -> BrickMap:
     )
 
 
+def load_world_host_bricks(path: str):
+    """Load a world's small tables onto device but leave the multi-GB
+    brick words on the HOST as a read-only memmap.
+
+    Returns ``(bm, bricks_host)`` where ``bm.bricks`` is a 1-brick
+    placeholder (``words_per_brick`` derives from ``factor``, so shape
+    queries stay valid) and ``bricks_host`` is ``uint32[N, wpb]``.  The
+    16k-class flow: feed ``bricks_host`` to
+    :func:`...ops.pallas_bigtrace.host_brick_lines` and upload the line
+    form only — raw bricks and brick lines cannot both fit beside trace
+    temps on a 16 GB chip."""
+    path, sidecar = _world_paths(path)
+    z = np.load(path)
+    assert int(z["version"]) == FORMAT_VERSION, "unknown world format"
+    bricks = (
+        z["bricks"] if "bricks" in z.files
+        else np.load(sidecar, mmap_mode="r")
+    )
+    bm = BrickMap(
+        meta=jnp.asarray(z["meta"]),
+        brick_idx=jnp.asarray(z["brick_idx"]),
+        bricks=jnp.zeros((1, bricks.shape[1]), jnp.uint32),
+        grid_dims=tuple(int(v) for v in z["grid_dims"]),
+        factor=int(z["factor"]),
+        coarse_layout=Layout(int(z["coarse_layout"])),
+        brick_layout=Layout(int(z["brick_layout"])),
+        dense_slots=bool(z["dense_slots"]),
+    )
+    return bm, bricks
+
+
 def generate_or_load(
     cache_dir: str,
     key: str,

@@ -125,6 +125,24 @@ def materialize_brick_lines(bm: BrickMap, lt: LineTable) -> LineTable:
     return dataclasses.replace(lt, brick_lines=jax.jit(brick_lines_view)(bm))
 
 
+def host_brick_lines(bricks: np.ndarray) -> np.ndarray:
+    """Host-numpy twin of :func:`brick_lines_view`: relayout raw brick
+    words (``uint32[N, wpb]``, e.g. an ``np.memmap`` of a world cache's
+    ``.bricks.npy`` sidecar) into i32 brick lines ``[NBL * 8, 128]``.
+
+    The 16k-class path: a 16384x512x16384 world's brick table (7.6 GB)
+    and its line form cannot BOTH be resident on a 16 GB chip, so the
+    device-side :func:`materialize_brick_lines` OOMs.  The kernel only
+    ever reads the LINE form — so relayout on the host (zero-copy when
+    ``N*wpb`` is 1024-aligned, which factor-32 bricks always are) and
+    upload the lines alone; the raw table never touches HBM."""
+    bw = bricks.reshape(-1).view(np.int32)
+    padw = (-bw.shape[0]) % 1024
+    if padw:
+        bw = np.concatenate([bw, np.zeros((padw,), np.int32)])
+    return bw.reshape(-1, 128)
+
+
 @jax.jit
 def make_line_table(bm: BrickMap) -> LineTable:
     """Build the HBM region-line table + macro occupancy for a brickmap.
@@ -730,11 +748,17 @@ def _trace_inner(
     env, fetch, carry, *,
     grid_dims, region_dims, num_regions, factor, wpb,
     max_steps, use_macro, brick_layout, double_step,
+    diag: bool = False,
 ):
     """One DDA event for every ray in the working set — the shared hot
     loop body of the tile kernel and the row-retirement kernel.  ``env``
     carries the per-ray constants (start, direction, derived DDA terms,
-    edge pads) plus the macro tables; everything else is loop state."""
+    edge pads) plus the macro tables; everything else is loop state.
+
+    ``diag=True`` appends 8 per-ray phase counters to the carry (stall /
+    macro-skip / coarse-advance / pend / descend / fine-step / double-step
+    / ascend iterations) — the measurement build behind the round-3/4
+    where-do-iterations-go analysis; never on the production path."""
     (sx, sy, sz, dx, dy, dz,
      stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
      padx, pady, padz, macro, macro_row0, macro2_words) = env
@@ -756,6 +780,9 @@ def _trace_inner(
     zero = jnp.zeros((R, 128), F32)
     zeroi = jnp.zeros((R, 128), I32)
 
+    if diag:
+        phase_counts = carry[-8:]
+        carry = carry[:-8]
     (act, fine, pend, hit, imm, hit_imm, steps,
      ccx, ccy, ccz, ctx, cty, ctz, centry,
      fcx, fcy, fcz, ftx, fty, ftz,
@@ -1202,14 +1229,32 @@ def _trace_inner(
     )
     nwant = jnp.where(runnable & (nact != 0), want_new, nwant)
 
-    return (nact, new_fine.astype(I32), npend, nhit, nimm, nhit_imm, nsteps,
-            new_ccx, new_ccy, new_ccz, new_ctx, new_cty, new_ctz, new_centry,
-            nfcx, nfcy, nfcz, nftx, nfty, nftz,
-            nfsx, nfsy, nfsz, nfpx, nfpy, nfpz,
-            nfpadx, nfpady, nfpadz, nfsteps,
-            ncnx, ncny, ncnz, nfnx, nfny, nfnz,
-            npox, npoy, npoz, nnox, nnoy, nnoz,
-            npmeta, nbslot, nwant, nhwid, nhword)
+    out = (nact, new_fine.astype(I32), npend, nhit, nimm, nhit_imm, nsteps,
+           new_ccx, new_ccy, new_ccz, new_ctx, new_cty, new_ctz, new_centry,
+           nfcx, nfcy, nfcz, nftx, nfty, nftz,
+           nfsx, nfsy, nfsz, nfpx, nfpy, nfpz,
+           nfpadx, nfpady, nfpadz, nfsteps,
+           ncnx, ncny, ncnz, nfnx, nfny, nfnz,
+           npox, npoy, npoz, nnox, nnoy, nnoz,
+           npmeta, nbslot, nwant, nhwid, nhword)
+    if diag:
+        # phase attribution for this iteration (disjoint except step2,
+        # which rides a fine_step lane): where do tile iterations go?
+        c_stall, c_mskip, c_cadv, c_pend, c_desc, c_fstep, c_step2, c_asc = (
+            phase_counts
+        )
+        stall = active & ~runnable
+        out = out + (
+            c_stall + stall.astype(I32),
+            c_mskip + macro_skip.astype(I32),
+            c_cadv + coarse_adv.astype(I32),
+            c_pend + to_pend.astype(I32),
+            c_desc + descend.astype(I32),
+            c_fstep + fine_step.astype(I32),
+            c_step2 + step2.astype(I32),
+            c_asc + ascend.astype(I32),
+        )
+    return out
 
 def _run_dma_round(
     cache_ref, tags_smem, rr_ref, started_ref, sems_ref,
@@ -1280,8 +1325,7 @@ def _bigtrace_kernel(
     bricks_hbm,
     hit_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, steps_ref,
     iters_ref,
-    cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref,
-    *,
+    *rest,
     grid_dims,
     region_dims,
     num_regions: int,
@@ -1295,7 +1339,11 @@ def _bigtrace_kernel(
     brick_layout: Layout,
     shortlist: int,
     double_step: bool,
+    diag: bool = False,
 ):
+    # rest = [8 phase-count out refs if diag] + 6 scratch refs
+    (cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref) = rest[-6:]
+    phase_refs = rest[:-6]
     GX, GY, GZ = grid_dims
     RX, RY, RZ = region_dims
     SRX, SRY = -(-RX // 4), -(-RY // 4)
@@ -1360,7 +1408,7 @@ def _bigtrace_kernel(
         grid_dims=grid_dims, region_dims=region_dims, num_regions=num_regions,
         factor=factor, wpb=wpb, max_steps=max_steps,
         use_macro=use_macro, brick_layout=brick_layout,
-        double_step=double_step,
+        double_step=double_step, diag=diag,
     )
 
     def outer_body(carry):
@@ -1404,6 +1452,8 @@ def _bigtrace_kernel(
             zero, zero, zero, zero, zero, zero,
             zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
             jnp.full((R, 128), -1, I32), zeroi)
+    if diag:
+        init = init + (zeroi,) * 8
 
     # generous iteration cap: 2*max_steps events + stall slack.  Shortlist
     # modes can in the worst case wait the full S-round rotation per event
@@ -1431,6 +1481,9 @@ def _bigtrace_kernel(
     steps_ref[:] = steps
     # lockstep/stall diagnostic: iterations this tile actually ran
     iters_ref[:] = jnp.full((R, 128), out[0] * inner_steps, I32)
+    if diag:
+        for k in range(8):
+            phase_refs[k][:] = st[47 + k]
 
 
 @functools.partial(
@@ -1438,6 +1491,7 @@ def _bigtrace_kernel(
     static_argnames=(
         "max_steps", "tile", "num_slots", "inner_steps", "dma_per_round",
         "use_macro", "interpret", "return_iters", "shortlist", "double_step",
+        "return_phases",
     ),
 )
 def trace_brickmap_hbm(
@@ -1455,6 +1509,7 @@ def trace_brickmap_hbm(
     return_iters: bool = False,
     shortlist: int = 0,
     double_step: bool = True,
+    return_phases: bool = False,
 ) -> TraceOut:
     """Two-level brickmap trace through the HBM line table (see module doc).
 
@@ -1469,6 +1524,12 @@ def trace_brickmap_hbm(
     fetch; K>0 = per-group slot shortlist with K voted candidates + a
     rotating slot (see :func:`_stage_shortlist`) — identical results,
     fetch cost independent of ``num_slots``.
+
+    ``return_phases=True`` additionally returns a dict of 8 per-ray
+    iteration-phase counters (``stall``/``mskip``/``cadv``/``pend``/
+    ``desc``/``fstep``/``step2``/``asc``) — the measurement build that
+    answers *where do tile iterations go* (slightly slower: 8 extra
+    vector adds per iteration; results are unchanged).
     """
     if interpret is None:
         # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
@@ -1536,15 +1597,17 @@ def trace_brickmap_hbm(
         brick_layout=bm.brick_layout,
         shortlist=shortlist,
         double_step=double_step,
+        diag=return_phases,
     )
+    n_extra = 8 if return_phases else 0
     outs = pl.pallas_call(
         kern,
         grid=(ntiles,),
         in_specs=in_specs,
-        out_specs=[ray_spec] * 9,
+        out_specs=[ray_spec] * (9 + n_extra),
         out_shape=[jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)]
         + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), F32)] * 6
-        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)] * 2,
+        + [jax.ShapeDtypeStruct(((n + padn) // 128, 128), I32)] * (2 + n_extra),
         scratch_shapes=[
             pltpu.VMEM((num_slots * 8, 128), I32),  # line cache
             pltpu.SMEM((num_slots,), I32),  # line tags (scalar per slot)
@@ -1566,6 +1629,16 @@ def trace_brickmap_hbm(
     pos = jnp.where(hit_imm[:, None], start_c * F32(f), pos)
     nrm = jnp.where(hit_imm[:, None], start_normal, nrm)
     res = TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
+    if return_phases:
+        names = ("stall", "mskip", "cadv", "pend", "desc", "fstep",
+                 "step2", "asc")
+        phases = {
+            k: outs[9 + i].reshape(-1)[:n] for i, k in enumerate(names)
+        }
+        phases["iters"] = outs[8].reshape(-1)[:n]
+        if return_iters:
+            return res, outs[8].reshape(-1)[:n], phases
+        return res, phases
     if return_iters:
         return res, outs[8].reshape(-1)[:n]
     return res
