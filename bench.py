@@ -161,6 +161,30 @@ def main():
     else:
         fused = make_fused_table(bm)
 
+    o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
+    if backend == "pallas" and os.environ.get("BENCH_AUTOMACRO", "1") == "1":
+        # probe-informed macro selection: terrain-bound camera rays never
+        # fire the L1/L2/L3 macro skips (round-3 phase-mix measurement:
+        # 0.0% of lane iterations on this scene), and the span machinery
+        # costs ~4%/iteration.  When a diagnostic probe reports zero
+        # macro-skip iterations, trace without it — traversal is then
+        # bit-identical (same fetches, same advances), and the in-run
+        # exactness check below guards the swap like everything else.
+        import dataclasses as _dc
+
+        t0 = time.perf_counter()
+        _, ph = trace_brickmap_hbm(
+            bm, lt, o, d, cfg.max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            shortlist=cfg.trace_shortlist, return_phases=True,
+        )
+        mskip = int(np.asarray(ph["mskip"]).sum())
+        if mskip == 0:
+            cfg = _dc.replace(cfg, trace_use_macro=False)
+        log(f"macro probe: {mskip} skip lane-iters -> "
+            f"use_macro={cfg.trace_use_macro} "
+            f"({time.perf_counter()-t0:.1f}s)")
+
     fb = make_framebuffer(cfg)
     t0 = time.perf_counter()
     fb = render_frame(bm, fb, origin, euler, env, jnp.int32(0), cfg, fused, lt)
@@ -170,19 +194,19 @@ def main():
     # probe trace: provides (a) the honesty-check kernel result and (b) the
     # temporal block-difficulty permutation for the timed loop (kernel ray
     # tiles pair blocks of similar path length; scatter-exact reordering)
-    o, d, px, py, pyr = primary_rays(cfg, origin, euler, jnp.int32(1))
     perm = None
     if backend == "pallas":
         got = trace_brickmap_hbm(
             bm, lt, o, d, cfg.max_steps,
             tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-            shortlist=cfg.trace_shortlist,
+            shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
         )
         if os.environ.get("BENCH_ITERS", "0") == "1":
             _, iters = trace_brickmap_hbm(
                 bm, lt, o, d, cfg.max_steps,
                 tile=cfg.trace_tile, num_slots=cfg.trace_slots,
                 shortlist=cfg.trace_shortlist, return_iters=True,
+                use_macro=cfg.trace_use_macro,
             )
             it = np.asarray(iters)[::cfg.trace_tile]
             st = np.asarray(got.steps)

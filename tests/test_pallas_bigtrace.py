@@ -589,3 +589,39 @@ def test_bigtrace_phase_counters(rng):
     hits = np.asarray(ref.hit)
     assert (ph["desc"][hits] >= 1).all()
     assert (ph["pend"][hits] >= 1).all()
+
+
+def test_host_brick_lines_matches_device_view(rng, tmp_path):
+    """The host-numpy relayout (16k-class path: raw bricks never touch
+    HBM) produces exactly the lines materialize_brick_lines builds on
+    device, and a world round-tripped through load_world_host_bricks
+    traces identically through the kernel."""
+    from voxelengine_tpu.io.checkpoint import (
+        load_world_host_bricks,
+        save_world,
+    )
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        brick_lines_view,
+        host_brick_lines,
+    )
+    import dataclasses
+
+    bm = _world(rng)
+    path = str(tmp_path / "w.npz")
+    save_world(path, bm)
+    bm2, bricks_host = load_world_host_bricks(path)
+    assert bm2.bricks.shape == (1, bm.words_per_brick)
+    np.testing.assert_array_equal(
+        host_brick_lines(np.asarray(bricks_host)),
+        np.asarray(brick_lines_view(bm)),
+    )
+    lt = dataclasses.replace(
+        make_line_table(bm2),
+        brick_lines=jnp.asarray(host_brick_lines(np.asarray(bricks_host))),
+    )
+    origins, rays = _rays(rng, 256, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 256)
+    out = trace_brickmap_hbm(
+        bm2, lt, origins, rays, 256, tile=256, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)

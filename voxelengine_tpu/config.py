@@ -96,6 +96,13 @@ class RenderConfig:
     # fetch scheduler: 0 = S-way unrolled fetch; K>0 = per-group slot
     # shortlist (K voted candidates + rotating slot, fused 1-iter descend)
     trace_shortlist: int = 0
+    # macro occupancy skip levels (L1/L2/L3).  Terrain-bound camera rays
+    # never fire them (round-3 phase-mix measurement: 0.0% of lane
+    # iterations on the 8k bench scene) and the span machinery costs ~4%
+    # of the iteration — a probe-informed renderer turns this off when a
+    # probe trace reports zero macro skips (traversal is then
+    # bit-identical; bench.py verifies per run either way)
+    trace_use_macro: bool = True
     tile_order: bool = False
     # Pallas straggler compaction (trace_brickmap_hbm_staged): first-pass
     # step budget (0 = single launch at max_steps) and tail-buffer divisor.

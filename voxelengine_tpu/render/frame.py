@@ -220,7 +220,7 @@ def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
         return trace_brickmap_hbm(
             bm, lt, origins, dirs, max_steps,
             tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-            shortlist=cfg.trace_shortlist,
+            shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
         )
     return trace_brickmap(bm, origins, dirs, max_steps)
 
@@ -286,12 +286,14 @@ def shade_pixels(
                 tail_frac=cfg.trace_tail_frac,
                 tile=cfg.trace_tile, num_slots=cfg.trace_slots,
                 shortlist=cfg.trace_shortlist,
+                use_macro=cfg.trace_use_macro,
             )
         else:
             out = trace_brickmap_hbm(
                 bm, lt, origins, dirs, cfg.max_steps,
                 tile=cfg.trace_tile, num_slots=cfg.trace_slots,
                 shortlist=cfg.trace_shortlist,
+                use_macro=cfg.trace_use_macro,
             )
     elif cfg.staged_trace:
         out: TraceOut = trace_brickmap_staged(
