@@ -96,6 +96,15 @@ def config3():
     o = jnp.asarray([256.0, 300.0, 256.0])
     fb = make_framebuffer(cfg)
     e0 = jnp.asarray([-0.35, 0.75, 0.0])
+    # probe-informed macro selection (bit-identical when no skips fire)
+    import dataclasses
+
+    from voxelengine_tpu.render.frame import primary_rays, probe_use_macro
+
+    po, pd, *_ = primary_rays(cfg, o, e0, jnp.int32(0))
+    cfg = dataclasses.replace(
+        cfg, trace_use_macro=probe_use_macro(bm, lt, po, pd, cfg)
+    )
     fb = render_frame(bm, fb, o, e0, env, jnp.int32(0), cfg, None, lt)
     fb.block_until_ready()
     reps = 6

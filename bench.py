@@ -172,17 +172,13 @@ def main():
         # exactness check below guards the swap like everything else.
         import dataclasses as _dc
 
+        from voxelengine_tpu.render.frame import probe_use_macro
+
         t0 = time.perf_counter()
-        _, ph = trace_brickmap_hbm(
-            bm, lt, o, d, cfg.max_steps,
-            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-            shortlist=cfg.trace_shortlist, return_phases=True,
+        cfg = _dc.replace(
+            cfg, trace_use_macro=probe_use_macro(bm, lt, o, d, cfg)
         )
-        mskip = int(np.asarray(ph["mskip"]).sum())
-        if mskip == 0:
-            cfg = _dc.replace(cfg, trace_use_macro=False)
-        log(f"macro probe: {mskip} skip lane-iters -> "
-            f"use_macro={cfg.trace_use_macro} "
+        log(f"macro probe: use_macro={cfg.trace_use_macro} "
             f"({time.perf_counter()-t0:.1f}s)")
 
     fb = make_framebuffer(cfg)

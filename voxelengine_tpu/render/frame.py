@@ -213,6 +213,27 @@ def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None
     return origins, dirs, px, py, py_r
 
 
+def probe_use_macro(bm, lt, origins, dirs, cfg: RenderConfig, stride=4):
+    """Probe-informed macro selection (round-3 measurement): trace a
+    stride-sampled subset of a frame's rays with the diagnostic phase
+    counters and return ``False`` when zero macro-skip iterations fire.
+
+    Terrain-bound camera rays never leave occupied regions (measured
+    0.0% of lane-iterations on the 8k bench scene), and the macro span
+    machinery costs ~4-10% of every iteration — tracing without it is
+    then bit-identical (same fetches, same advances).  A missed isolated
+    skip lane can only cost that few-%% choice, never correctness; the
+    decision is a perf hint, not a semantics switch."""
+    import numpy as np
+
+    _, ph = trace_brickmap_hbm(
+        bm, lt, origins[::stride], dirs[::stride], cfg.max_steps,
+        tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+        shortlist=cfg.trace_shortlist, return_phases=True,
+    )
+    return int(np.asarray(ph["mskip"]).sum()) != 0
+
+
 def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
     """Secondary-ray trace (shadows, AO): uses the HBM line-table kernel
     when one is available (the XLA path is gather-bound on big worlds)."""
