@@ -33,7 +33,7 @@ enable_compilation_cache()
 
 from voxelengine_tpu import Environment, RenderConfig, VoxelRaytracer3D
 from voxelengine_tpu.config import DebugView, Projection
-from voxelengine_tpu.render.camera import get_directions
+from voxelengine_tpu.render.camera import get_directions_np
 from voxelengine_tpu.core.brickmap import apply_edits
 from voxelengine_tpu.io.checkpoint import generate_or_load
 from voxelengine_tpu.core.brickmap import build_brickmap_terrain
@@ -73,9 +73,66 @@ def main():
                     help="orthographic projection (the reference's #define ORTHO); scroll zooms")
     ap.add_argument("--xla-trace", action="store_true",
                     help="force the XLA staged traversal instead of the Pallas line-table kernel")
+    ap.add_argument("--bench-world", choices=["full", "huge"],
+                    help="fly the flagship bench world from .world_cache "
+                         "(full = 8k x 512 x 8k; huge = 16k x 512 x 16k via "
+                         "host-side brick->line relayout)")
+    ap.add_argument("--speed", type=float, default=None,
+                    help="fly speed in voxels/keypress (default 2; bench worlds 16)")
+    ap.add_argument("--present-every", type=int, default=1,
+                    help="read back + present every Nth frame (render loop "
+                    "stays device-side between presents).  This tunneled "
+                    "environment moves device->host at ~11 MB/s, so a full "
+                    "720p readback costs ~300 ms; a local host presents at "
+                    "memcpy speed and wouldn't need this")
     args = ap.parse_args()
 
-    if args.dense:
+    bench_dims = None
+    if args.bench_world:
+        # the flagship bench worlds, flyable: the reference's defining
+        # experience (a live fly-camera over its demonstrated 8k terrain,
+        # main.cu:170-194) at bench frame rates.  Loads the shared
+        # .world_cache; the 16k world keeps raw bricks host-side.
+        import dataclasses
+
+        from voxelengine_tpu.io.checkpoint import (
+            line_table_or_build,
+            load_world_host_bricks,
+        )
+
+        bench_dims = {"full": (8192, 512, 8192),
+                      "huge": (16384, 512, 16384)}[args.bench_world]
+        key = (f"terrain_{bench_dims[0]}x{bench_dims[1]}x{bench_dims[2]}"
+               f"_f32_o32_v1")
+        with timed("Voxel generation + buffer generation time"):
+            if args.bench_world == "huge":
+                from voxelengine_tpu.ops.pallas_bigtrace import (
+                    host_brick_lines,
+                )
+
+                bm, bricks_host = load_world_host_bricks(
+                    f".world_cache/{key}.npz"
+                )
+                lt = line_table_or_build(".world_cache", key + "_lt1", bm)
+                lt = dataclasses.replace(
+                    lt, brick_lines=jnp.asarray(host_brick_lines(bricks_host))
+                )
+            else:
+                from voxelengine_tpu.ops.pallas_bigtrace import (
+                    materialize_brick_lines,
+                )
+
+                bm = generate_or_load(".world_cache", key, lambda: (
+                    (_ for _ in ()).throw(RuntimeError(
+                        "run `python bench.py` once to build the world cache"
+                    ))))
+                lt = materialize_brick_lines(
+                    bm, line_table_or_build(".world_cache", key + "_lt1", bm)
+                )
+        rt = VoxelRaytracer3D()
+        rt.upload_world_lines(bm, lt)
+        grid = None
+    elif args.dense:
         from voxelengine_tpu.worldgen.terrain import generate_world
 
         with timed("Voxel generation time"):
@@ -102,8 +159,18 @@ def main():
     mode = (4 | 8 if args.png else 1 | 2) if args.record else (8 if args.png else 2)
     renderer.init(args.width, args.height, 1.0, outdir=args.outdir, mode=mode)
 
-    cam_pos = np.array([256.0, 256.0, 256.0], np.float32)  # main.cu:52
-    euler = np.array([0.3, 0.8, 0.0], np.float32)
+    if bench_dims:
+        # on the bench hill, looking across the valley (bench.py camera)
+        cam_pos = np.array(
+            [bench_dims[0] / 2, 380.0, bench_dims[2] / 2], np.float32
+        )
+        euler = np.array([-0.25, 0.75, 0.0], np.float32)
+    else:
+        cam_pos = np.array([256.0, 256.0, 256.0], np.float32)  # main.cu:52
+        euler = np.array([0.3, 0.8, 0.0], np.float32)
+    fly_speed = args.speed if args.speed is not None else (
+        16.0 if bench_dims else 2.0
+    )
     fb = make_framebuffer(cfg)
     timer = FrameTimer()
     src = best_input(
@@ -119,14 +186,12 @@ def main():
 
     def on_frame(data):
         nonlocal fb, cam_pos, euler, frame, running, cfg
-        speed = 2.0
+        speed = fly_speed
         for ev in src.poll():
             # one camera-basis implementation for rendering AND movement
             # (get_directions already applies the reference's fwd/up
             # negation, Renderer.cu:32-41 — its fwd IS the look direction)
-            fwdj, _, rightj = get_directions(jnp.asarray(euler))
-            fwd = np.asarray(fwdj)
-            right = np.asarray(rightj)
+            fwd, _, right = get_directions_np(euler)
             if ev.key == "quit":
                 running = False
             elif ev.key == "w":
@@ -165,11 +230,14 @@ def main():
                     cfg,
                     ortho_size=(max(ow - dz * 10.0, 1.0), max(oh - dz * 10.0, 1.0)),
                 )
-            elif ev.key in ("f", "g") and rt is not None:
+            elif ev.key in ("f", "g") and rt is not None and (
+                args.bench_world != "huge"  # 16k: raw bricks are host-side
+            ):
                 # crosshair voxel break/place
-                fwdj2, _, _ = get_directions(jnp.asarray(euler))
+                fwd2, _, _ = get_directions_np(euler)
                 res = trace_brickmap(
-                    rt.world, jnp.asarray(cam_pos)[None], fwdj2[None], cfg.max_steps
+                    rt.world, jnp.asarray(cam_pos)[None],
+                    jnp.asarray(fwd2)[None], cfg.max_steps
                 )
                 if bool(res.hit[0]):
                     p = np.asarray(res.position[0])
@@ -193,7 +261,8 @@ def main():
                 rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
                 jnp.int32(frame), cfg, rt.fused_table, rt.line_table,
             )
-        data.pixels[...] = np.asarray(to_bgra8(fb))
+        if frame % args.present_every == 0:
+            data.pixels[...] = np.asarray(to_bgra8(fb))
         frame += 1
         ema = timer.tick()
         if frame % 10 == 0:

@@ -137,11 +137,12 @@ def main():
     import os
     sweep = os.environ.get("SWEEP", "1024,16,8,4")
     sl = int(os.environ.get("SHORTLIST", "2"))
+    um = os.environ.get("UM", "1") == "1"  # use_macro (UM=0: macro-off basin)
     for part in sweep.split():
         vals = [int(v) for v in part.split(",")]
         tile, ns, istp, dpr = vals[:4]
         kw = dict(tile=tile, num_slots=ns, inner_steps=istp, dma_per_round=dpr,
-                  shortlist=sl)
+                  shortlist=sl, use_macro=um)
         if "--rr" in sys.argv:
             from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm_rr
 

@@ -249,3 +249,21 @@ def test_to_bgra8(small_world):
     b = np.asarray(to_bgra8(fb))
     assert b.shape == (1, 1, 4)
     assert tuple(b[0, 0]) == (0, 127, 255, 255)  # B,G,R,A
+
+
+def test_get_directions_np_twin_matches():
+    """The host-numpy camera basis (interactive input path: no device
+    round trip per keypress) matches the jnp version to transcendental
+    precision (~1 ULP: numpy and XLA sin/cos differ in the last bit).
+    It feeds only movement/crosshair input, never the render rays."""
+    import numpy as np
+
+    from voxelengine_tpu.render import camera as cam
+
+    rng = np.random.default_rng(7)
+    for e in rng.uniform(-3.2, 3.2, size=(32, 3)).astype(np.float32):
+        jf, ju, jr = (np.asarray(v) for v in cam.get_directions(jnp.asarray(e)))
+        nf, nu, nr = cam.get_directions_np(e)
+        np.testing.assert_allclose(jf, nf, atol=3e-7)
+        np.testing.assert_allclose(ju, nu, atol=6e-7)
+        np.testing.assert_allclose(jr, nr, atol=3e-7)

@@ -106,6 +106,19 @@ class VoxelRaytracer3D:
 
             self._lt = make_line_table(self._bm)
 
+    def upload_world_lines(self, bm: BrickMap, lt) -> None:
+        """Attach a prebuilt world + HBM line table WITHOUT building the
+        O(world) fused XLA lookup table.  The big-world path: at 8k the
+        fused table doubles resident memory for a traversal the flagship
+        kernel never uses, and at 16k the brick words themselves stay
+        host-side (``load_world_host_bricks`` — ``bm.bricks`` may be a
+        placeholder; XLA-path queries and edits then require the real
+        brick words)."""
+        self._bm = bm
+        self._fused = None
+        self._factor = bm.factor
+        self._lt = lt
+
     def upload_voxel_buffer(self, grid: BitGrid, factor: Optional[int] = None) -> None:
         """Build + upload the two-level structure from a dense grid — the
         ``UploadVoxelBuffer``/``Datas``/``DataBounds`` trio in one call
@@ -156,9 +169,10 @@ class VoxelRaytracer3D:
             self._bm, self._lt = apply_edits_hbm(
                 self.world, self._lt, x, y, z, value
             )
-            from voxelengine_tpu.core.brickmap import update_fused_words
+            if self._fused is not None:
+                from voxelengine_tpu.core.brickmap import update_fused_words
 
-            self._fused = update_fused_words(self._bm, self._fused, x, y, z)
+                self._fused = update_fused_words(self._bm, self._fused, x, y, z)
         else:
             self._bm, self._fused = apply_edits_fused(
                 self.world, self._fused, x, y, z, value

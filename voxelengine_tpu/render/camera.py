@@ -34,6 +34,33 @@ def get_directions(euler_angles) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     return -fwd, -up, right
 
 
+def get_directions_np(euler_angles):
+    """Host-numpy twin of :func:`get_directions` (same formulas, f32).
+
+    Interactive input handling needs the camera basis every event; a
+    device call costs a full host<->device round trip (~60 ms through
+    this environment's tunnel) per keypress.  Matches the jnp version to
+    ~1 ULP (numpy vs XLA transcendentals; asserted in tests) — it feeds
+    movement and crosshair input only, never the render rays."""
+    import numpy as np
+
+    e = np.asarray(euler_angles, np.float32)
+    pitch, yaw = e[..., 0], e[..., 1]
+    fwd = np.stack(
+        [
+            np.cos(pitch) * np.sin(yaw),
+            -np.sin(pitch),
+            np.cos(pitch) * np.cos(yaw),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    right = np.stack(
+        [np.cos(yaw), np.zeros_like(yaw), -np.sin(yaw)], axis=-1
+    ).astype(np.float32)
+    up = np.cross(fwd, right).astype(np.float32)
+    return -fwd, -up, right
+
+
 def ray_direction(fwd, up, right, width: int, height: int, u, v, fov_degrees):
     """Perspective primary-ray direction for uv in [0,1]^2
     (``Renderer.cu:44-59``).  ``u``/``v`` broadcast; returns [..., 3]."""
