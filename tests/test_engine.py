@@ -58,3 +58,46 @@ def test_factor_accessors(small_world):
     assert rt.get_factor() == 8
     rt.upload_voxel_buffer(grid)
     assert rt.world.factor == 8
+
+
+def test_upload_world_lines_no_fused_table(small_world, ray_batch):
+    """upload_world_lines attaches a prebuilt world + line table without
+    the O(world) fused XLA table (big-world path); batch queries and
+    line-table edits still work, and results match a normal upload."""
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        make_line_table,
+        materialize_brick_lines,
+    )
+
+    dense, grid, _ = small_world
+    origins, rays = ray_batch
+    rt0 = VoxelRaytracer3D()
+    rt0.upload_voxel_buffer(grid, 8)
+
+    bm = build_brickmap(grid, 8)
+    rt = VoxelRaytracer3D()
+    rt.upload_world_lines(bm, materialize_brick_lines(bm, make_line_table(bm)))
+    assert rt.fused_table is None and rt.line_table is not None
+    res0 = rt0.raytrace(origins, rays)
+    res = rt.raytrace(origins, rays)
+    assert np.array_equal(np.asarray(res0.valid), np.asarray(res.valid))
+    assert np.array_equal(
+        np.asarray(res0.hit_point), np.asarray(res.hit_point)
+    )
+    # edits flow through apply_edits_hbm with no fused table present:
+    # place a voxel in a verified-empty air column and hit it vertically
+    empty = [
+        (x, z)
+        for x in range(32)
+        for z in range(32)
+        if not dense[z, 20:32, x].any()
+    ]
+    x0, z0 = empty[0]
+    rt.edit_voxels(jnp.asarray([x0]), jnp.asarray([28]), jnp.asarray([z0]), True)
+    probe = rt.raytrace(
+        np.asarray([[x0 + 0.5, 31.5, z0 + 0.5]], np.float32),
+        np.asarray([[0.0, -1.0, 0.0]], np.float32),
+    )
+    assert bool(probe.valid[0])
+    assert abs(float(probe.hit_point[0, 1]) - 29.0) < 1e-3
