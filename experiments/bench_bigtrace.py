@@ -210,7 +210,7 @@ def main():
             print(f"  phase mix (lane-iterations, {rows} tiles, "
                   f"{tot_slots/1e6:.1f}M lane-slots):", flush=True)
             for k in ("stall", "mskip", "cadv", "pend", "desc", "fstep",
-                      "step2", "asc"):
+                      "step2", "asc", "xrun"):
                 s = int(ph[k].sum())
                 print(f"    {k:6s} {s/1e6:9.2f}M  {100*s/tot_slots:5.1f}% of slots",
                       flush=True)

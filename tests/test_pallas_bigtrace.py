@@ -581,6 +581,7 @@ def test_bigtrace_phase_counters(rng):
     )
     assert (active <= ph["iters"]).all()
     assert (ph["step2"] <= ph["fstep"]).all()
+    assert (ph["xrun"] <= ph["fstep"]).all()
     # every traced ray that did any work shows up in the accounting
     worked = np.asarray(ref.steps) > 0
     assert (active[worked] > 0).all()

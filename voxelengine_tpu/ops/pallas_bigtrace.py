@@ -755,10 +755,11 @@ def _trace_inner(
     carries the per-ray constants (start, direction, derived DDA terms,
     edge pads) plus the macro tables; everything else is loop state.
 
-    ``diag=True`` appends 8 per-ray phase counters to the carry (stall /
+    ``diag=True`` appends 9 per-ray phase counters to the carry (stall /
     macro-skip / coarse-advance / pend / descend / fine-step / double-step
-    / ascend iterations) — the measurement build behind the round-3/4
-    where-do-iterations-go analysis; never on the production path."""
+    / ascend / collapsible-x-run iterations) — the measurement build
+    behind the round-3/4 where-do-iterations-go analysis; never on the
+    production path."""
     (sx, sy, sz, dx, dy, dz,
      stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
      padx, pady, padz, macro, macro_row0, macro2_words) = env
@@ -781,8 +782,8 @@ def _trace_inner(
     zeroi = jnp.zeros((R, 128), I32)
 
     if diag:
-        phase_counts = carry[-8:]
-        carry = carry[:-8]
+        phase_counts = carry[-9:]
+        carry = carry[:-9]
     (act, fine, pend, hit, imm, hit_imm, steps,
      ccx, ccy, ccz, ctx, cty, ctz, centry,
      fcx, fcy, fcz, ftx, fty, ftz,
@@ -1240,10 +1241,13 @@ def _trace_inner(
     if diag:
         # phase attribution for this iteration (disjoint except step2,
         # which rides a fine_step lane): where do tile iterations go?
-        c_stall, c_mskip, c_cadv, c_pend, c_desc, c_fstep, c_step2, c_asc = (
-            phase_counts
-        )
+        (c_stall, c_mskip, c_cadv, c_pend, c_desc, c_fstep, c_step2,
+         c_asc, c_xrun) = phase_counts
         stall = active & ~runnable
+        # xrun: fine steps along x whose whole 32-cell word row is empty —
+        # the lane-iterations an exact x-slab skip (absolute-t semantics)
+        # could collapse to one event per (y,z) row; its measured ceiling
+        xrun = fine_step & fax & (word == 0)
         out = out + (
             c_stall + stall.astype(I32),
             c_mskip + macro_skip.astype(I32),
@@ -1253,6 +1257,7 @@ def _trace_inner(
             c_fstep + fine_step.astype(I32),
             c_step2 + step2.astype(I32),
             c_asc + ascend.astype(I32),
+            c_xrun + xrun.astype(I32),
         )
     return out
 
@@ -1341,7 +1346,7 @@ def _bigtrace_kernel(
     double_step: bool,
     diag: bool = False,
 ):
-    # rest = [8 phase-count out refs if diag] + 6 scratch refs
+    # rest = [9 phase-count out refs if diag] + 6 scratch refs
     (cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref) = rest[-6:]
     phase_refs = rest[:-6]
     GX, GY, GZ = grid_dims
@@ -1453,7 +1458,7 @@ def _bigtrace_kernel(
             zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
             jnp.full((R, 128), -1, I32), zeroi)
     if diag:
-        init = init + (zeroi,) * 8
+        init = init + (zeroi,) * 9
 
     # generous iteration cap: 2*max_steps events + stall slack.  Shortlist
     # modes can in the worst case wait the full S-round rotation per event
@@ -1482,7 +1487,7 @@ def _bigtrace_kernel(
     # lockstep/stall diagnostic: iterations this tile actually ran
     iters_ref[:] = jnp.full((R, 128), out[0] * inner_steps, I32)
     if diag:
-        for k in range(8):
+        for k in range(9):
             phase_refs[k][:] = st[47 + k]
 
 
@@ -1525,11 +1530,11 @@ def trace_brickmap_hbm(
     rotating slot (see :func:`_stage_shortlist`) — identical results,
     fetch cost independent of ``num_slots``.
 
-    ``return_phases=True`` additionally returns a dict of 8 per-ray
+    ``return_phases=True`` additionally returns a dict of 9 per-ray
     iteration-phase counters (``stall``/``mskip``/``cadv``/``pend``/
-    ``desc``/``fstep``/``step2``/``asc``) — the measurement build that
-    answers *where do tile iterations go* (slightly slower: 8 extra
-    vector adds per iteration; results are unchanged).
+    ``desc``/``fstep``/``step2``/``asc``/``xrun``) — the measurement
+    build that answers *where do tile iterations go* (slightly slower:
+    9 extra vector adds per iteration; results are unchanged).
     """
     if interpret is None:
         # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
@@ -1599,7 +1604,7 @@ def trace_brickmap_hbm(
         double_step=double_step,
         diag=return_phases,
     )
-    n_extra = 8 if return_phases else 0
+    n_extra = 9 if return_phases else 0
     outs = pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -1631,7 +1636,7 @@ def trace_brickmap_hbm(
     res = TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
     if return_phases:
         names = ("stall", "mskip", "cadv", "pend", "desc", "fstep",
-                 "step2", "asc")
+                 "step2", "asc", "xrun")
         phases = {
             k: outs[9 + i].reshape(-1)[:n] for i, k in enumerate(names)
         }
