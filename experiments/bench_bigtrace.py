@@ -1,7 +1,12 @@
 """On-TPU compile + perf check for ops.pallas_bigtrace.
 
-Usage: python experiments/bench_bigtrace.py [world] [n_rays]
-  world: small (512^3/f32), mid (1024^3), full (8k x 512 x 8k)
+Usage: python experiments/bench_bigtrace.py [world] [n_rays] [octaves] [flags]
+  world: tiny | small (512^3) | mid (1024x512x1024) | full (8k x 512 x 8k)
+         | huge (16k x 512 x 16k; host-side brick->line relayout)
+  flags: --tiled --verify --phases --iters --lockstep --sorted --rr
+         --blocksort
+  env:   SWEEP="tile,slots,inner,dpr ..."  SHORTLIST=K  UM=0 (macro off)
+         WORLD_CACHE=1
 """
 
 import sys
