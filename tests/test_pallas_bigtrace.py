@@ -626,3 +626,40 @@ def test_host_brick_lines_matches_device_view(rng, tmp_path):
         bm2, lt, origins, rays, 256, tile=256, num_slots=4, interpret=True
     )
     _assert_match(out, ref)
+
+
+def test_probe_use_macro_decisions(rng):
+    """probe_use_macro returns False on scenes whose rays never leave
+    occupied regions and True when macro skips fire (empty-region
+    traversal); both decisions trace bit-identically either way."""
+    from voxelengine_tpu.config import RenderConfig
+    from voxelengine_tpu.render.frame import probe_use_macro
+
+    cfg = RenderConfig(width=64, height=32, trace_tile=256, trace_slots=4)
+
+    # dense random world: every region occupied -> no skips -> False
+    bm = _world(rng)
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 512, bm.world_dims)
+    assert probe_use_macro(bm, lt, jnp.asarray(origins), jnp.asarray(rays),
+                           cfg, stride=2) is False
+
+    # floor-only world with a 2x2x2 REGION grid (128^3 / factor 8 ->
+    # 16^3 chunks), rays fired down from the empty top regions: macro
+    # skips fire -> True
+    dense = np.zeros((128, 128, 128), bool)
+    dense[:, 0:2, :] = True
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+
+    bm2 = build_brickmap(BitGrid.from_dense(dense), 8)
+    lt2 = make_line_table(bm2)
+    assert lt2.num_regions > 1
+    n = 256
+    o2 = np.tile(np.asarray([[64.0, 126.0, 64.0]], np.float32), (n, 1))
+    t = (rng.random((n, 3)) * np.asarray([128, 2, 128])).astype(np.float32)
+    d2 = t - o2
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    assert probe_use_macro(bm2, lt2, jnp.asarray(o2),
+                           jnp.asarray(d2.astype(np.float32)), cfg,
+                           stride=2) is True
