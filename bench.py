@@ -24,6 +24,8 @@ Env knobs:
   BENCH_FRAMES=N       timed frames (default 8)
   BENCH_BACKEND=xla    use the round-1 staged XLA traversal instead
   BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 16)
+  BENCH_ALLOW_CPU=1    skip the TPU-backend guard (local sanity runs)
+  BENCH_TPU_TIMEOUT=s  backend-probe timeout before a re-exec retry (300)
 """
 
 from __future__ import annotations
@@ -40,8 +42,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _require_tpu():
+    """Fail fast (and retry) instead of silently benchmarking the wrong chip.
+
+    Two observed failure modes of the tunneled-TPU environment (NOTES_ROUND3/4):
+    (a) JAX silently falls back to CPU when the tunnel hiccups — an 8k frame
+    then takes minutes and the recorded number is garbage; (b) backend init
+    hangs indefinitely while the tunnel reconnects.  Probe the platform in a
+    daemon thread with a timeout; on hang or CPU fallback, re-exec this
+    process (fresh backend init) a few times before giving up with rc=3.
+    BENCH_ALLOW_CPU=1 skips the guard for local sanity runs.
+    """
+    if os.environ.get("BENCH_ALLOW_CPU") == "1":
+        return
+    import threading
+
+    plat = []
+
+    def probe():
+        import jax
+
+        d = jax.devices()[0]
+        # the tunneled chip registers via the experimental 'axon' PJRT
+        # plugin: accept any device that self-identifies as a TPU through
+        # platform, repr ("TPU v5 lite0"), or device_kind
+        ident = " ".join(
+            str(v) for v in (d.platform, d, getattr(d, "device_kind", ""))
+        )
+        plat.append("tpu" if "tpu" in ident.lower() else d.platform)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BENCH_TPU_TIMEOUT", "300")))
+    if plat and plat[0] == "tpu":
+        return
+    tries = int(os.environ.get("BENCH_TPU_TRIES", "0"))
+    state = "hung" if not plat else f"platform={plat[0]}"
+    if tries >= 4:
+        log(f"FATAL: TPU backend unavailable ({state}) after {tries} retries")
+        sys.exit(3)
+    os.environ["BENCH_TPU_TRIES"] = str(tries + 1)
+    log(f"TPU not reachable ({state}); re-exec retry {tries + 1}/4 in 60s")
+    time.sleep(60)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _require_tpu()
     from voxelengine_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
