@@ -79,7 +79,35 @@ def config2():
         out = trace_grid_mxu(g, ojs[k], dj)
     _ = float(jnp.sum(out.steps))
     ms = (time.perf_counter() - t0) * 1000 / reps
-    return f"64^3 depth 256x256 (MXU kernel, pipelined): {ms:.2f} ms -> {W*H/ms/1000:.1f} Mrays/s"
+    # sustained on-device: K distinct batches per dispatch via lax.scan.
+    # At this tiny batch (65k rays ~ 2 ms of device work) the chained loop
+    # above is dominated by the ~35-40 ms/dispatch tunnel enqueue cost, so
+    # it measures the tunnel, not the chip (a local host pays neither).
+    # Scan steps run sequentially on-device with per-step distinct origins,
+    # and the carried steps-sum checksum forces every step to execute.
+    K = 50
+    o0 = jnp.asarray(o.astype(np.float32))
+
+    @jax.jit
+    def sustained(o0, dj):
+        def step(acc, k):
+            r = trace_grid_mxu(g, o0 + jnp.float32(1e-4) * k, dj)
+            return acc + jnp.sum(r.steps), None
+
+        acc, _ = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(K, dtype=jnp.float32)
+        )
+        return acc
+
+    sustained(o0, dj).block_until_ready()  # compile (untimed)
+    M = 3  # independent dispatches pipeline: enqueue hides behind device work
+    t0 = time.perf_counter()
+    accs = [sustained(o0 + jnp.float32(1e-3) * (m + 1), dj) for m in range(M)]
+    _ = sum(float(a) for a in accs)
+    ms2 = (time.perf_counter() - t0) * 1000 / (K * M)
+    return (f"64^3 depth 256x256 (MXU kernel): {ms:.2f} ms/dispatch"
+            f" ({W*H/ms/1000:.1f} Mrays/s incl tunnel); on-device sustained"
+            f" {ms2:.2f} ms/batch -> {W*H/ms2/1000:.1f} Mrays/s")
 
 
 def config3():
@@ -143,7 +171,45 @@ def config5():
         res = rt.raytrace(o, d)
     _ = float(jnp.sum(res.steps))
     ms = (time.perf_counter() - t0) * 1000 / reps
-    return f"edit 64 voxels + re-trace 1024 rays (apply_edits_hbm): {ms:.1f} ms"
+    # sustained on-device interactive loop: K (edit -> retrace) rounds in
+    # ONE dispatch via lax.scan (distinct edit coords per round, carried
+    # steps-sum checksum forces execution).  The per-interaction number
+    # above pays 2+ tunnel round trips per pair, so it mostly measures the
+    # tunnel; this figure isolates the engine-side cost a local host sees.
+    from voxelengine_tpu.ops.pallas_bigtrace import apply_edits_hbm
+    from voxelengine_tpu.ops.trace import trace_brickmap
+
+    K = 16
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    bm0, lt0 = rt.world, rt.line_table
+
+    @jax.jit
+    def interact(bm, lt, oj, dj):
+        def step(carry, k):
+            bm, lt, acc = carry
+            xs = jnp.arange(64) + 32 + k
+            bm, lt = apply_edits_hbm(
+                bm, lt, xs, jnp.full((64,), 150), jnp.full((64,), 160) + k,
+                True,
+            )
+            r = trace_brickmap(bm, oj, dj)
+            return (bm, lt, acc + jnp.sum(r.steps)), None
+
+        (_, _, acc), _ = jax.lax.scan(
+            step, (bm, lt, jnp.int32(0)), jnp.arange(K, dtype=jnp.int32)
+        )
+        return acc
+
+    interact(bm0, lt0, oj, dj).block_until_ready()  # compile (untimed)
+    M = 2
+    t0 = time.perf_counter()
+    accs = [interact(bm0, lt0, oj + jnp.float32(1e-3) * (m + 1), dj)
+            for m in range(M)]
+    _ = sum(float(a) for a in accs)
+    ms2 = (time.perf_counter() - t0) * 1000 / (K * M)
+    return (f"edit 64 voxels + re-trace 1024 rays (apply_edits_hbm): "
+            f"{ms:.1f} ms/interaction incl tunnel; on-device sustained "
+            f"{ms2:.2f} ms/round")
 
 
 def main():
