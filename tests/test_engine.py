@@ -101,3 +101,64 @@ def test_upload_world_lines_no_fused_table(small_world, ray_batch):
     )
     assert bool(probe.valid[0])
     assert abs(float(probe.hit_point[0, 1]) - 29.0) < 1e-3
+
+
+def test_scanned_interactive_loop_matches_unrolled():
+    """K (edit -> retrace) rounds composed under ``lax.scan`` inside one
+    jit are bit-equal to the same functional ops unrolled on the host —
+    the sustained on-device interactive-loop pattern measured by
+    ``apps/bench_configs.py`` config 5 (the reference's edit-capable
+    atomic BitRef design, ``VolumeRaytracer.cu:19-36``, replayed as a
+    compiler-friendly sequential scan).  Fresh worlds per phase because
+    ``apply_edits_hbm`` donates its brickmap argument."""
+    import jax
+
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        apply_edits_hbm,
+        make_line_table,
+        materialize_brick_lines,
+    )
+    from voxelengine_tpu.ops.trace import trace_brickmap
+
+    r = np.random.default_rng(99)
+    dense = r.random((32, 32, 32)) < 0.05
+    r2 = np.random.default_rng(77)
+    origins = (r2.random((64, 3)) * 48 - 8).astype(np.float32)
+    targets = (r2.random((64, 3)) * 32).astype(np.float32)
+    rays = targets - origins
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    oj, dj = jnp.asarray(origins), jnp.asarray(rays.astype(np.float32))
+
+    def fresh():
+        bm = build_brickmap(BitGrid.from_dense(dense), 8)
+        return bm, materialize_brick_lines(bm, make_line_table(bm))
+
+    K = 3
+
+    def edit_args(k):
+        return (jnp.arange(4) + 8 + k, jnp.full((4,), 20),
+                jnp.full((4,), 12) + k, True)
+
+    @jax.jit
+    def interact(bm, lt, oj, dj):
+        def step(carry, k):
+            bm, lt, acc = carry
+            bm, lt = apply_edits_hbm(bm, lt, *edit_args(k))
+            res = trace_brickmap(bm, oj, dj)
+            return (bm, lt, acc + jnp.sum(res.steps)), None
+
+        (_, _, acc), _ = jax.lax.scan(
+            step, (bm, lt, jnp.int32(0)), jnp.arange(K, dtype=jnp.int32)
+        )
+        return acc
+
+    bm, lt = fresh()
+    got = int(interact(bm, lt, oj, dj))
+
+    bm, lt = fresh()
+    want = 0
+    for k in range(K):
+        bm, lt = apply_edits_hbm(bm, lt, *edit_args(k))
+        want += int(jnp.sum(trace_brickmap(bm, oj, dj).steps))
+    assert want > 0 and got == want
