@@ -24,6 +24,9 @@ Env knobs:
   BENCH_FRAMES=N       timed frames (default 8)
   BENCH_BACKEND=xla    use the round-1 staged XLA traversal instead
   BENCH_TILE/BENCH_SLOTS  kernel knobs (default 2048 / 16)
+  BENCH_W/BENCH_H      render resolution (default 1920x1080; the
+                       reference's own demo config is BENCH_WORLD=small
+                       BENCH_W=1280 BENCH_H=720 — main.cu:15-23)
   BENCH_ALLOW_CPU=1    skip the TPU-backend guard (local sanity runs)
   BENCH_TPU_TIMEOUT=s  backend-probe timeout before a re-exec retry (300)
 """
@@ -160,7 +163,9 @@ def main():
            else f"; {bricks_host.nbytes/1e9:.2f} GB host-resident)"))
 
     cfg = RenderConfig(
-        width=1920, height=1080, checkerboard=True,
+        width=int(os.environ.get("BENCH_W", "1920")),
+        height=int(os.environ.get("BENCH_H", "1080")),
+        checkerboard=True,
         tile_order=True,
         trace_tile=int(os.environ.get("BENCH_TILE", "2048")),
         trace_slots=int(os.environ.get("BENCH_SLOTS", "16")),
@@ -340,7 +345,7 @@ def main():
     if diffs > steps.size // 10000:
         log(f"WARNING: hit diffs above 0.01% tolerance ({diffs})")
 
-    metric = ("primary_mrays_per_s_1080p_checkerboard_"
+    metric = (f"primary_mrays_per_s_{cfg.height}p_checkerboard_"
               + {"small": "1k", "full": "8k", "huge": "16k"}[world] + "_world")
     print(json.dumps({
         "metric": metric,
