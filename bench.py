@@ -29,6 +29,7 @@ Env knobs:
                        BENCH_W=1280 BENCH_H=720 — main.cu:15-23)
   BENCH_ALLOW_CPU=1    skip the TPU-backend guard (local sanity runs)
   BENCH_TPU_TIMEOUT=s  backend-probe timeout before a re-exec retry (300)
+  BENCH_PROFILE=dir    capture a jax.profiler trace of the timed batch
 """
 
 from __future__ import annotations
@@ -307,7 +308,13 @@ def main():
     # blow the harness timeout for no benefit)
     warm = min(3, frames)
     log(f"warmup batch ({warm}): {batch(1, warm):.1f} ms/frame")
-    frame_ms = batch(warm + 1, frames)
+    prof_dir = os.environ.get("BENCH_PROFILE", "")
+    if prof_dir:  # capture an XLA/Pallas trace of the timed batch
+        with jax.profiler.trace(prof_dir):
+            frame_ms = batch(warm + 1, frames)
+        log(f"profiler trace written to {prof_dir}")
+    else:
+        frame_ms = batch(warm + 1, frames)
     log(f"frame checksum {batch.checksum:.1f}")
     mrays = rays_per_frame / frame_ms / 1000.0
 
