@@ -17,11 +17,17 @@ Headless-friendly: with no tty it runs a scripted deterministic fly-through
 from __future__ import annotations
 
 import argparse
-import math
+import os
 import sys
-import time
 
 import jax
+
+if os.environ.get("VOX_CPU") == "1":
+    # force-CPU for local logic verification: the axon TPU plugin ignores
+    # JAX_PLATFORMS, so an explicit config update is required (and it
+    # avoids hanging on a dead TPU tunnel)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +40,6 @@ enable_compilation_cache()
 from voxelengine_tpu import Environment, RenderConfig, VoxelRaytracer3D
 from voxelengine_tpu.config import DebugView, Projection
 from voxelengine_tpu.render.camera import get_directions_np
-from voxelengine_tpu.core.brickmap import apply_edits
 from voxelengine_tpu.io.checkpoint import generate_or_load
 from voxelengine_tpu.core.brickmap import build_brickmap_terrain
 from voxelengine_tpu.ops.trace import trace_brickmap
@@ -61,7 +66,9 @@ def main():
     ap.add_argument("--width", type=int, default=1280)  # main.cu:15
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--octaves", type=int, default=32)
-    ap.add_argument("--frames", type=int, default=240, help="scripted frame count")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="frame cap (default: 240 scripted/headless, "
+                         "unlimited interactive)")
     ap.add_argument("--debug-view", action="store_true")
     ap.add_argument("--outdir", default="frames")
     ap.add_argument("--record", action="store_true", help="save numbered frames")
@@ -173,20 +180,28 @@ def main():
     )
     fb = make_framebuffer(cfg)
     timer = FrameTimer()
+    interactive = sys.stdin.isatty()
+    # interactive sessions run until 'quit' unless --frames is given;
+    # headless/scripted runs default to a 240-frame fly-through
+    nframes = args.frames if args.frames is not None else (
+        None if interactive else 240
+    )
     src = best_input(
-        scripted=[["w"] if i % 3 else ["w", "right"] for i in range(args.frames)]
-        if not sys.stdin.isatty()
-        else None
+        scripted=None if interactive else
+        [["w"] if i % 3 else ["w", "right"] for i in range(nframes)]
     )
 
     frame = 0
     running = True
+    boost = 1.0  # 'b' toggles the reference's LShift x10 speed (main.cu:110-144)
 
     MOUSE_SENS = 0.004  # rad/px, the reference's drag sensitivity (main.cu:155-156)
 
+    ortho_zoom = np.asarray(cfg.ortho_size, np.float32)  # mutable, traced
+
     def on_frame(data):
-        nonlocal fb, cam_pos, euler, frame, running, cfg
-        speed = fly_speed
+        nonlocal fb, cam_pos, euler, frame, running, boost
+        speed = fly_speed * boost
         for ev in src.poll():
             # one camera-basis implementation for rendering AND movement
             # (get_directions already applies the reference's fwd/up
@@ -220,16 +235,16 @@ def main():
                 dx, dy = (float(v) for v in ev.key[5:].split(","))
                 euler[1] -= dx * MOUSE_SENS
                 euler[0] -= dy * MOUSE_SENS
+            elif ev.key == "b":
+                # the reference's LShift x10 speed boost, as a toggle
+                # (main.cu:110-144; no key-up events on a tty)
+                boost = 10.0 if boost == 1.0 else 1.0
             elif ev.key.startswith("scroll:"):
-                # scroll wheel = ortho window zoom +-10 (main.cu:94-107)
+                # scroll wheel = ortho window zoom +-10 (main.cu:94-107);
+                # ortho_zoom is a TRACED render_frame argument, so zooming
+                # never recompiles (cfg is a static jit arg)
                 dz = float(ev.key[7:])
-                ow, oh = cfg.ortho_size
-                import dataclasses as _dc
-
-                cfg = _dc.replace(
-                    cfg,
-                    ortho_size=(max(ow - dz * 10.0, 1.0), max(oh - dz * 10.0, 1.0)),
-                )
+                ortho_zoom[:] = np.maximum(ortho_zoom - dz * 10.0, 1.0)
             elif ev.key in ("f", "g") and rt is not None and (
                 args.bench_world != "huge"  # 16k: raw bricks are host-side
             ):
@@ -249,17 +264,19 @@ def main():
                         ev.key == "g",
                     )
 
+        osz = jnp.asarray(ortho_zoom) if args.ortho else None
         if args.dense:
             from voxelengine_tpu.render.frame import render_frame_dense
 
             fb = render_frame_dense(
                 grid, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
-                jnp.int32(frame), cfg,
+                jnp.int32(frame), cfg, ortho_size=osz,
             )
         else:
             fb = render_frame(
                 rt.world, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
                 jnp.int32(frame), cfg, rt.fused_table, rt.line_table,
+                ortho_size=osz,
             )
         if frame % args.present_every == 0:
             data.pixels[...] = np.asarray(to_bgra8(fb))
@@ -269,7 +286,7 @@ def main():
             print(f"[{frame}] Avg FPS: {timer.fps:.1f} ({ema:.2f} ms)")
 
     renderer.add_render_event_callback(on_frame)
-    while running and frame < args.frames:
+    while running and (nframes is None or frame < nframes):
         renderer.render()
     renderer.close()
     print(f"presented {renderer.frames_presented} frames")

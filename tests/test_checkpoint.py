@@ -70,3 +70,33 @@ def test_line_table_cache_roundtrip(tmp_path, small_world):
     assert np.array_equal(np.asarray(lt1.macro2), np.asarray(lt2.macro2))
     assert lt2.num_regions == lt1.num_regions
     assert lt2.region_dims == lt1.region_dims
+
+
+def test_generate_or_load_recovers_from_corrupt_cache(tmp_path, small_world):
+    """A truncated .npz (kill mid-save) or a deleted .bricks.npy sidecar
+    must trigger a rebuild, not a permanent load error."""
+    import os
+
+    from voxelengine_tpu.io.checkpoint import generate_or_load
+
+    _, _, bm = small_world
+    calls = []
+
+    def gen():
+        calls.append(1)
+        return bm
+
+    d = str(tmp_path)
+    bm1 = generate_or_load(d, "w", gen)
+    assert len(calls) == 1
+    # corrupt the npz: existence alone must no longer be trusted
+    with open(os.path.join(d, "w.npz"), "wb") as f:
+        f.write(b"not a zip")
+    bm2 = generate_or_load(d, "w", gen)
+    assert len(calls) == 2
+    assert np.array_equal(np.asarray(bm2.meta), np.asarray(bm1.meta))
+    # delete the sidecar but keep the (now valid) npz
+    os.remove(os.path.join(d, "w.npz.bricks.npy"))
+    bm3 = generate_or_load(d, "w", gen)
+    assert len(calls) == 3
+    assert np.array_equal(np.asarray(bm3.bricks), np.asarray(bm1.bricks))

@@ -267,3 +267,33 @@ def test_get_directions_np_twin_matches():
         np.testing.assert_allclose(jf, nf, atol=3e-7)
         np.testing.assert_allclose(ju, nu, atol=6e-7)
         np.testing.assert_allclose(jr, nr, atol=3e-7)
+
+
+def test_ortho_zoom_traced_override_matches_static(small_world):
+    """A traced ``ortho_size`` (the interactive no-recompile zoom path,
+    ``SetOrthoWindowSize`` main.cu:94-107) renders bit-identically to the
+    same value baked statically into the config, and a different zoom
+    actually changes the image."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    _, _, bm = small_world
+    env = Environment.default()
+    o = jnp.asarray([16.0, 40.0, -20.0], jnp.float32)
+    e = jnp.asarray([-0.6, 0.1, 0.0], jnp.float32)
+    base = RenderConfig(width=64, height=48, checkerboard=False,
+                        projection=Projection.ORTHOGRAPHIC)
+    cfg_static = dataclasses.replace(base, ortho_size=(40.0, 30.0))
+    fa = render_frame(bm, make_framebuffer(base), o, e, env, jnp.int32(0),
+                      cfg_static)
+    fb = render_frame(bm, make_framebuffer(base), o, e, env, jnp.int32(0),
+                      base, None, None, None,
+                      jnp.asarray([40.0, 30.0], jnp.float32))
+    assert bool(jnp.all(fa == fb))
+    fc = render_frame(bm, make_framebuffer(base), o, e, env, jnp.int32(0),
+                      base, None, None, None,
+                      jnp.asarray([80.0, 60.0], jnp.float32))
+    assert not bool(jnp.all(fb == fc))

@@ -12,7 +12,7 @@ apps use.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,9 +36,13 @@ def save_world(path: str, bm: BrickMap) -> None:
     zlib-decompressing ~2 GB costs >10 s of the warm start, while a raw
     .npy mmap-loads in the host->device transfer time."""
     path, sidecar = _world_paths(path)
-    np.save(sidecar, np.asarray(bm.bricks))
+    # atomic writes (tmp + os.replace), sidecar FIRST and npz LAST: a kill
+    # mid-save must never leave an .npz that load_world will trust forever
+    # (the .npz is the cache-validity marker checked by generate_or_load)
+    np.save(sidecar + ".tmp.npy", np.asarray(bm.bricks))
+    os.replace(sidecar + ".tmp.npy", sidecar)
     np.savez_compressed(
-        path,
+        path + ".tmp.npz",
         version=FORMAT_VERSION,
         meta=np.asarray(bm.meta),
         brick_idx=np.asarray(bm.brick_idx),
@@ -48,6 +52,7 @@ def save_world(path: str, bm: BrickMap) -> None:
         brick_layout=bm.brick_layout.value,
         dense_slots=bm.dense_slots,
     )
+    os.replace(path + ".tmp.npz", path)
 
 
 def load_world(path: str) -> BrickMap:
@@ -113,7 +118,15 @@ def generate_or_load(
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, key + ".npz")
     if os.path.exists(path):
-        return load_world(path)
+        try:
+            return load_world(path)
+        except Exception as e:  # truncated npz / deleted sidecar: rebuild
+            print(
+                f"world cache {path} unreadable ({type(e).__name__}: {e}); "
+                "rebuilding",
+                file=sys.stderr,
+                flush=True,
+            )
     bm = generate_fn()
     save_world(path, bm)
     return bm
@@ -175,8 +188,8 @@ def save_line_table(path: str, lt) -> None:
     """Serialize a :class:`...ops.pallas_bigtrace.LineTable`'s small side
     tables (region lines + macro levels; the brick lines are a zero-copy
     view of the brickmap and are not duplicated here)."""
-    np.savez_compressed(
-        path,
+    np.savez_compressed(  # atomic: never leave a truncated cache behind
+        path + ".tmp.npz",
         version=FORMAT_VERSION,
         layout_version=LINE_TABLE_LAYOUT_VERSION,
         region_lines=np.asarray(lt.region_lines),
@@ -185,6 +198,7 @@ def save_line_table(path: str, lt) -> None:
         num_regions=lt.num_regions,
         region_dims=np.asarray(lt.region_dims),
     )
+    os.replace(path + ".tmp.npz", path)
 
 
 def load_line_table(path: str):
@@ -228,8 +242,8 @@ def line_table_or_build(cache_dir: str, key: str, bm: BrickMap):
     if os.path.exists(path):
         try:
             return load_line_table(path)
-        except ValueError:
-            pass  # stale layout: rebuild below
+        except Exception:
+            pass  # stale layout / truncated file: rebuild below
     lt = make_line_table(bm)
     lt.region_lines.block_until_ready()
     save_line_table(path, lt)

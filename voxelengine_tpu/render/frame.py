@@ -164,14 +164,17 @@ def checkerboard_pair_select(framebuffer, h, w, h_prev, w_prev, frame_number):
     return jnp.stack([p0, p1], axis=1).reshape(2 * rows, W, 3)
 
 
-def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None):
+def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None,
+                 ortho_size=None):
     """Build the frame's primary rays.
 
     Returns (origins [N,3], dirs [N,3], px [N], py [N]) where (px, py) are
     final framebuffer coordinates (checkerboard-remapped; py may equal H for
     dropped rows, ``Renderer.cu:186-196``).  ``block_perm`` (optional, only
     with ``tile_order``): emit the pixel blocks in this order (see
-    :func:`block_permutation_from_steps`).
+    :func:`block_permutation_from_steps`).  ``ortho_size`` (optional [2]
+    array) overrides ``cfg.ortho_size`` as a TRACED value so interactive
+    zoom (``SetOrthoWindowSize``, ``main.cu:94-107``) never recompiles.
     """
     W, H = cfg.width, cfg.height
     rows = H // 2 if cfg.checkerboard else H
@@ -209,7 +212,8 @@ def primary_rays(cfg: RenderConfig, origin, euler, frame_number, block_perm=None
         origins = jnp.broadcast_to(origin, dirs.shape)
     else:
         dirs = jnp.broadcast_to(fwd, (px.shape[0], 3))
-        origins = cam.ray_origin_ortho(fwd, up, right, W, H, u, v, origin, cfg.ortho_size)
+        osz = cfg.ortho_size if ortho_size is None else ortho_size
+        origins = cam.ray_origin_ortho(fwd, up, right, W, H, u, v, origin, osz)
     return origins, dirs, px, py, py_r
 
 
@@ -434,6 +438,7 @@ def render_frame(
     fused=None,
     lt: Optional[LineTable] = None,
     block_perm=None,
+    ortho_size=None,
 ) -> jax.Array:
     """Render one frame into the persistent framebuffer (RGB f32 in [0,1]).
 
@@ -443,10 +448,11 @@ def render_frame(
     HBM-line-table traversal (see :func:`shade_pixels`); ``block_perm``
     optionally reorders the pixel blocks for tile-difficulty pairing
     (:func:`block_permutation_from_steps`) — output is scatter-exact
-    regardless.
+    regardless.  ``ortho_size`` (optional [2] array) zooms the ortho
+    window as a traced value — no recompile per scroll tick.
     """
     origins, dirs, px, py, py_r = primary_rays(
-        cfg, origin, euler, frame_number, block_perm
+        cfg, origin, euler, frame_number, block_perm, ortho_size
     )
     color, write = shade_pixels(
         bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, fused, lt
@@ -474,6 +480,7 @@ def render_frame_dense(
     frame_number,
     cfg: RenderConfig,
     interpret: bool = False,
+    ortho_size=None,
 ) -> jax.Array:
     """``render_frame`` over a dense :class:`BitGrid` world using the fused
     MXU traversal kernel (:func:`voxelengine_tpu.ops.pallas_trace.trace_grid_mxu`)
@@ -481,7 +488,9 @@ def render_frame_dense(
     Shadow/AO secondary rays are not supported on this path."""
     from voxelengine_tpu.ops.pallas_trace import trace_grid_mxu
 
-    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    origins, dirs, px, py, py_r = primary_rays(
+        cfg, origin, euler, frame_number, ortho_size=ortho_size
+    )
     out = trace_grid_mxu(grid, origins, dirs, cfg.max_steps, interpret=interpret)
     color, write = shade_traced(
         None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
