@@ -1349,10 +1349,6 @@ def _bigtrace_kernel(
     # rest = [9 phase-count out refs if diag] + 6 scratch refs
     (cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref) = rest[-6:]
     phase_refs = rest[:-6]
-    GX, GY, GZ = grid_dims
-    RX, RY, RZ = region_dims
-    SRX, SRY = -(-RX // 4), -(-RY // 4)
-    f = factor
     S = num_slots
     R = ox_ref.shape[0]  # sublane rows; rays = R * 128
     NR = num_regions
@@ -1389,15 +1385,6 @@ def _bigtrace_kernel(
     ivx = 1.0 / jnp.where(dx == 0.0, eps32, dx)
     ivy = 1.0 / jnp.where(dy == 0.0, eps32, dy)
     ivz = 1.0 / jnp.where(dz == 0.0, eps32, dz)
-
-    if brick_layout is Layout.LINEAR:
-        def brick_bit(x, y, z):
-            return x + y * f + z * (f * f)
-    else:  # TILED_LINEAR (f % 8 == 0)
-        tF = f // 8
-        def brick_bit(x, y, z):
-            tile = (x >> 3) + (y >> 3) * tF + (z >> 3) * (tF * tF)
-            return tile * 512 + (x & 7) + ((y & 7) << 3) + ((z & 7) << 6)
 
     zero = jnp.zeros((R, 128), F32)
     zeroi = jnp.zeros((R, 128), I32)
@@ -1543,6 +1530,10 @@ def trace_brickmap_hbm(
         "compiled Mosaic blocks need >= 8 sublanes: tile must be a"
         " multiple of 1024"
     )
+    # slot = (rr + k) % num_slots for k < dma_per_round: more in-flight
+    # DMAs than cache slots would target one slot twice concurrently and
+    # silently corrupt fetched lines
+    dma_per_round = min(dma_per_round, num_slots)
     gx, gy, gz = bm.grid_dims
     f = bm.factor
     gdims = jnp.asarray([gx, gy, gz], I32)
@@ -1928,6 +1919,7 @@ def trace_brickmap_hbm_rr(
     no ray waits on a whole tile's slowest straggler."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    dma_per_round = min(dma_per_round, num_slots)  # see trace_brickmap_hbm
     gx, gy, gz = bm.grid_dims
     f = bm.factor
     gdims = jnp.asarray([gx, gy, gz], I32)
