@@ -56,6 +56,17 @@ def choose_layout(dims: Tuple[int, int, int], want: Layout) -> Layout:
     return Layout.LINEAR
 
 
+def _full_brick_words(factor: int) -> np.ndarray:
+    """The canonical all-full brick word pattern (``uint32[wpb]``): all ones,
+    with the tail bits beyond ``factor^3`` masked off for tiny bricks.  The
+    single definition of which words an all-full brick dedupes to — the
+    compact builders and :func:`compact_brickmap` must agree on it."""
+    wpb = max(1, factor**3 // 32)
+    if factor**3 % 32 != 0:
+        return np.asarray(pack_bits(jnp.arange(wpb * 32) < factor**3), np.uint32)
+    return np.full((wpb,), 0xFFFFFFFF, np.uint32)
+
+
 def pack_meta(occ, bmin, bmax):
     """Pack occupancy + tight bounds into the int32 meta word.
 
@@ -293,9 +304,7 @@ def build_brickmap_terrain_compact(
     gx, gy, gz = X // f, Y // f, Z // f
     brick_layout = choose_layout((f, f, f), brick_layout)
     wpb = max(1, f**3 // 32)
-    full_words = np.full((wpb,), 0xFFFFFFFF, np.uint32)
-    if f**3 % 32 != 0:
-        full_words = np.asarray(pack_bits(jnp.arange(wpb * 32) < f**3))
+    full_words = _full_brick_words(f)
     full_dev = jnp.asarray(full_words)
 
     @jax.jit
@@ -374,9 +383,7 @@ def compact_brickmap(bm: BrickMap, dedupe_uniform: bool = True) -> BrickMap:
     assert bm.dense_slots, "compact_brickmap expects a dense_slots brickmap"
     wpb = bm.words_per_brick
     occ = ((bm.meta >> META_OCC_BIT) & 1) == 1
-    full_words = np.full((wpb,), 0xFFFFFFFF, np.uint32)
-    if bm.factor**3 % 32 != 0:
-        full_words = np.asarray(pack_bits(jnp.arange(wpb * 32) < bm.factor**3))
+    full_words = _full_brick_words(bm.factor)
     is_full = jnp.all(bm.bricks == jnp.asarray(full_words)[None, :], axis=1)
     keep = np.asarray(occ & (~is_full if dedupe_uniform else True))
     occ_h = np.asarray(occ)
@@ -433,11 +440,7 @@ def build_brickmap_from_fn(
     brick_rows = []  # per-slab compacted brick words (host)
     slot_parts = []
     next_slot = 1 if (dedupe_uniform and not dense_slots) else 0
-    full_words = np.full((wpb,), 0xFFFFFFFF, np.uint32)
-    if f**3 % 32 != 0:  # tiny bricks: mask tail bits
-        full_words = np.asarray(
-            pack_bits(jnp.arange(wpb * 32) < f**3), np.uint32
-        )
+    full_words = _full_brick_words(f)
 
     for cz in range(gz):
         slab = np.asarray(slab_fn(cz * f))

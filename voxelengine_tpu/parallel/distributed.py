@@ -123,7 +123,9 @@ def _trace_zsharded(
                 & ~st_out.active
                 & ~st_out.hit
                 & (st_out.steps < max_steps)
-                & (st_out.ccell[:, 2] >= 0)
+                & jnp.all(st_out.ccell >= 0, axis=-1)
+                & (st_out.ccell[:, 0] < gx)
+                & (st_out.ccell[:, 1] < gy)
                 & (st_out.ccell[:, 2] < gz)
                 & ~st_out.in_fine
             )
@@ -222,7 +224,9 @@ def render_frame_zsharded(
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     if zw is not None:
         out = trace_brickmap_hbm_zsharded(
-            zw, origins, dirs, mesh, cfg.max_steps
+            zw, origins, dirs, mesh, cfg.max_steps,
+            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+            shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
         )
     else:
         out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
@@ -271,7 +275,10 @@ class ZShardedHBM:
     a full-grid line table in which foreign slabs read empty (O(chunks/512)
     region records per device)."""
 
-    bricks_stack: jax.Array  # u32[n, max_slab_bricks, wpb]
+    brick_lines_stack: jax.Array  # i32[n, NBL*8, 128] (pre-relayouted: the
+    # kernel only reads the LINE form; storing raw bricks too would double
+    # the O(world) memory and re-pay the bricks->lines relayout as HLO
+    # temps inside every frame dispatch — the documented round-1 OOM mode)
     region_lines_stack: jax.Array  # i32[n, NR*8, 128]
     macro_stack: jax.Array  # i32[n, nv*8, 128]
     macro2_stack: jax.Array  # i32[n, M2+M3]
@@ -289,7 +296,10 @@ def make_zsharded_hbm(bm: BrickMap, n: int) -> ZShardedHBM:
     compact brickmaps (per-slab bricks are re-compacted to local slots)."""
     from voxelengine_tpu.core.brickmap import META_OCC_BIT
     from voxelengine_tpu.core.layout import Layout
-    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        host_brick_lines,
+        make_line_table,
+    )
 
     assert bm.coarse_layout is Layout.LINEAR, "z-sharding requires LINEAR coarse layout"
     gx, gy, gz = bm.grid_dims
@@ -337,7 +347,9 @@ def make_zsharded_hbm(bm: BrickMap, n: int) -> ZShardedHBM:
             dense_slots=False,
         )))
     return ZShardedHBM(
-        bricks_stack=jnp.stack(bricks_rows),
+        brick_lines_stack=jnp.stack(
+            [jnp.asarray(host_brick_lines(np.asarray(b))) for b in bricks_rows]
+        ),
         region_lines_stack=jnp.stack([t.region_lines for t in lts]),
         macro_stack=jnp.stack([t.macro for t in lts]),
         macro2_stack=jnp.stack([t.macro2 for t in lts]),
@@ -350,7 +362,10 @@ def make_zsharded_hbm(bm: BrickMap, n: int) -> ZShardedHBM:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "max_steps", "tile", "num_slots")
+    jax.jit,
+    static_argnames=(
+        "mesh", "max_steps", "tile", "num_slots", "shortlist", "use_macro",
+    ),
 )
 def trace_brickmap_hbm_zsharded(
     zw: ZShardedHBM,
@@ -360,6 +375,8 @@ def trace_brickmap_hbm_zsharded(
     max_steps: int = MAX_STEPS,
     tile: int = 1024,
     num_slots: int = 8,
+    shortlist: int = 0,
+    use_macro: bool = True,
 ) -> TraceOut:
     """Distributed-world trace through the flagship HBM Pallas kernel (see
     the replicated-walk design note above).  ``mesh`` axis must be named
@@ -368,6 +385,7 @@ def trace_brickmap_hbm_zsharded(
     from voxelengine_tpu.ops.pallas_bigtrace import LineTable, trace_brickmap_hbm
 
     n_dev = mesh.devices.size
+    wpb = max(1, zw.factor ** 3 // 32)
     # pass rays through UN-normalized (the kernel normalizes internally;
     # normalizing here too would shift directions by 1 ULP vs the
     # single-device call).  The min-t combine only needs per-device
@@ -375,12 +393,12 @@ def trace_brickmap_hbm_zsharded(
     origins = jnp.asarray(origins, F32)
     d = jnp.asarray(rays, F32)
 
-    def shard(bricks, rlines, macro, macro2, o, d):
+    def shard(blines, rlines, macro, macro2, o, d):
         my = jax.lax.axis_index("shards")
         bm_local = BrickMap(
             meta=jnp.zeros((1,), I32),  # unused at trace time (lt carries it)
             brick_idx=jnp.zeros((1,), I32),
-            bricks=bricks[0],
+            bricks=jnp.zeros((1, wpb), jnp.uint32),  # lt carries the lines
             grid_dims=zw.grid_dims,
             factor=zw.factor,
             coarse_layout=Layout.LINEAR,
@@ -390,18 +408,25 @@ def trace_brickmap_hbm_zsharded(
         lt_local = LineTable(
             region_lines=rlines[0], macro=macro[0], macro2=macro2[0],
             num_regions=zw.num_regions, region_dims=zw.region_dims,
+            brick_lines=blines[0],
         )
         out = trace_brickmap_hbm(
-            bm_local, lt_local, o, d, max_steps, tile=tile, num_slots=num_slots
+            bm_local, lt_local, o, d, max_steps, tile=tile,
+            num_slots=num_slots, shortlist=shortlist, use_macro=use_macro,
         )
         # first hit along the ray = min t across slabs (voxels live in
-        # exactly one slab; float-equal ties broken by slab index)
+        # exactly one slab).  Float-equal ties (corner grazes whose
+        # distinct per-slab hits round to the same f32 t) are broken in
+        # WALK order: the slab the ray's z traverses first wins — slab
+        # index for d.z >= 0, reversed for d.z < 0 (matches the order the
+        # single-device DDA would visit the candidate cells).
         t = jnp.sum((out.position - o) * d, -1)
         t = jnp.where(out.hit, t, jnp.float32(3.4e38))
         tmin = jax.lax.pmin(t, "shards")
         winner = out.hit & (t == tmin)
-        wslab = jnp.where(winner, my, n_dev)
-        owner = winner & (jax.lax.pmin(wslab, "shards") == my)
+        rank = jnp.where(d[:, 2] < 0.0, n_dev - 1 - my, my)
+        wslab = jnp.where(winner, rank, n_dev)
+        owner = winner & (jax.lax.pmin(wslab, "shards") == rank)
 
         def pick(x):
             m = owner.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -425,5 +450,5 @@ def trace_brickmap_hbm_zsharded(
         in_specs=(P("shards"), P("shards"), P("shards"), P("shards"), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(zw.bricks_stack, zw.region_lines_stack, zw.macro_stack, zw.macro2_stack,
-      origins, d)
+    )(zw.brick_lines_stack, zw.region_lines_stack, zw.macro_stack,
+      zw.macro2_stack, origins, d)

@@ -62,6 +62,7 @@ def render_frame_sharded(
     cfg: RenderConfig,
     mesh: Mesh,
     lt=None,
+    ortho_size=None,
 ) -> jax.Array:
     """Row-sharded frame render: ``render_frame`` semantics, N devices.
 
@@ -89,7 +90,13 @@ def render_frame_sharded(
     bw, bh = _block_side(W), _block_side(rows_local)
     blocked = cfg.tile_order and bw * bh > 1
 
-    def rays_for_rows(origin, euler, frame_number, px, py_r):
+    # ortho window as a TRACED value (matches render.frame.primary_rays:
+    # interactive zoom must not recompile the sharded path either)
+    osz = jnp.asarray(
+        cfg.ortho_size if ortho_size is None else ortho_size, F32
+    )
+
+    def rays_for_rows(origin, euler, frame_number, px, py_r, osz):
         py = (
             py_r * 2
             + jnp.where(px % 2 == 0, 1, 0)
@@ -105,7 +112,7 @@ def render_frame_sharded(
         else:
             dirs = jnp.broadcast_to(fwd, (px.shape[0], 3))
             origins = cam.ray_origin_ortho(
-                fwd, up, right, W, H, u, v, o, cfg.ortho_size
+                fwd, up, right, W, H, u, v, o, osz
             )
         return origins, dirs, py
 
@@ -116,7 +123,7 @@ def render_frame_sharded(
             a = a.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
         return a.reshape(rows_local, W, *rest)
 
-    def tile(bm, lt, fb_block, origin, euler, env, frame_number):
+    def tile(bm, lt, fb_block, origin, euler, env, frame_number, osz):
         dev = jax.lax.axis_index("rows")
         row0 = dev * rows_local
         xg, yg = jnp.meshgrid(jnp.arange(W), jnp.arange(rows_local), indexing="xy")
@@ -136,7 +143,9 @@ def render_frame_sharded(
             # recompute that row locally (1/rows_local extra rays, no comm)
             px = jnp.concatenate([px, jnp.arange(W)])
             py_r = jnp.concatenate([py_r, jnp.full((W,), row0 - 1)])
-        origins, dirs, py = rays_for_rows(origin, euler, frame_number, px, py_r)
+        origins, dirs, py = rays_for_rows(
+            origin, euler, frame_number, px, py_r, osz
+        )
         color, write = shade_pixels(
             bm, origins, dirs, px, py, py_r, origin, env, frame_number, cfg,
             None, lt,
@@ -164,11 +173,11 @@ def render_frame_sharded(
     fb = jax.shard_map(
         tile,
         mesh=mesh,
-        in_specs=(P(), P(), P("rows"), P(), P(), P(), P()),
+        in_specs=(P(), P(), P("rows"), P(), P(), P(), P(), P()),
         out_specs=P("rows"),
         check_vma=False,
     )(bm, lt, framebuffer, jnp.asarray(origin, F32), jnp.asarray(euler, F32),
-      env, jnp.asarray(frame_number, jnp.int32))
+      env, jnp.asarray(frame_number, jnp.int32), osz)
     return fb
 
 
@@ -182,7 +191,9 @@ def raytrace_sharded(
 
     def shard(bm, o, r):
         out = trace_brickmap(bm, o, r, max_steps)
-        tot = jax.lax.psum(jnp.sum(out.steps), "rows")
+        # f32 accumulator: an i32 sum wraps at frame-scale batches
+        # (2M rays x ~1000+ steps exceeds 2^31)
+        tot = jax.lax.psum(jnp.sum(out.steps.astype(F32)), "rows")
         cnt = jax.lax.psum(out.steps.shape[0], "rows")
         return out, tot / cnt
 
