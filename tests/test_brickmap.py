@@ -183,3 +183,33 @@ def test_terrain_compact_matches_dense_terrain():
     )
     # compactness: far fewer bricks than chunks
     assert got.bricks.shape[0] < got.num_chunks
+
+
+def test_fractional_word_factor_roundtrip():
+    """Factors whose cube is not a multiple of 32 (5^3 = 125 -> 4 words with
+    a 3-bit tail) must keep every voxel: words_per_brick is ceil, not floor
+    (regression: a floor wpb silently dropped the last f^3 % 32 voxels of
+    every brick and crashed pack_bits on the build path)."""
+    rng = np.random.default_rng(11)
+    dense = rng.random((10, 10, 10)) < 0.3
+    dense[4, 4, 4] = True  # a cell packed in the tail word of chunk (0,0,0)
+    dense[9, 9, 9] = True  # the very last cell of the last chunk
+    grid = BitGrid.from_dense(dense, layout=Layout.LINEAR)
+
+    bm = build_brickmap(grid, 5, coarse_layout=Layout.LINEAR)
+    assert bm.words_per_brick == 4
+    assert (np.asarray(bm.to_dense()) == dense).all()
+
+    bmc = build_brickmap(
+        grid, 5, dense_slots=False, dedupe_uniform=True, coarse_layout=Layout.LINEAR
+    )
+    assert (np.asarray(bmc.to_dense()) == dense).all()
+
+    # all-full chunk dedupes to the canonical tail-masked full brick
+    solid = np.zeros((10, 10, 10), bool)
+    solid[0:5, 0:5, 0:5] = True
+    bms = build_brickmap(
+        BitGrid.from_dense(solid, layout=Layout.LINEAR), 5, dense_slots=False, dedupe_uniform=True,
+        coarse_layout=Layout.LINEAR,
+    )
+    assert (np.asarray(bms.to_dense()) == solid).all()

@@ -22,11 +22,19 @@ def test_batch_api_fields(small_world, ray_batch):
     # distance consistent with hit point
     d = np.linalg.norm(origins[valid] - hp[valid], axis=1)
     assert np.allclose(d, np.asarray(res.distance)[valid], atol=1e-3)
-    # voxel index = linear x-fastest from float pos (VolumeRaytracer.cu:611-612)
+    # voxel index = linear x-fastest index of the HIT VOXEL (deliberate fix
+    # of the reference's float-MAC post-pass, VolumeRaytracer.cu:611-612):
+    # the hit point sits on the entry face, nudged into the cell along the
+    # entry normal, floor per component, exact int MAC
     X, Y, _ = rt.world.world_dims
     p = hp[valid]
-    vi = (p[:, 2] * X * Y + p[:, 1] * X + p[:, 0]).astype(np.int32)
-    assert np.array_equal(vi, np.asarray(res.voxel_index)[valid])
+    nrm = np.asarray(res.normal)[valid]
+    pi = np.floor(p + 0.5 * nrm).astype(np.int64)
+    vi = pi[:, 2] * X * Y + pi[:, 1] * X + pi[:, 0]
+    assert np.array_equal(vi, np.asarray(res.voxel_index)[valid].astype(np.int64))
+    # and every index names a voxel that is actually solid in the input
+    zi, yi, xi = pi[:, 2], pi[:, 1], pi[:, 0]
+    assert dense[zi, yi, xi].all()
     assert rt.last_kernel_ms > 0
 
 

@@ -218,7 +218,7 @@ def test_ao_golden_vs_oracle(small_world):
         seed = np.int32(py[i] * cfg.width + px[i])
         occ = 0.0
         for s in range(cfg.ao_samples):
-            si = np.int32(seed + s * 1000 + 1000)
+            si = np.int32(seed + s * 1000 + 7919)  # (frame 0 + 1) * 7919
             sd = np.array(
                 [rf(si) * 2 - 1, rf(np.int32(si * 10)) * 2 - 1,
                  rf(np.int32(si * 100)) * 2 - 1], np.float32,

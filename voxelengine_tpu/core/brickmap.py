@@ -37,7 +37,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from voxelengine_tpu.core.bitgrid import BitGrid, layout_order_bits, pack_bits
+from voxelengine_tpu.core.bitgrid import (
+    BitGrid,
+    layout_order_bits,
+    pack_bits,
+    words_for_bits,
+)
 from voxelengine_tpu.core.layout import Layout, sample_index
 
 # meta word layout (factor <= 32 so 5 bits per bound field):
@@ -61,7 +66,7 @@ def _full_brick_words(factor: int) -> np.ndarray:
     with the tail bits beyond ``factor^3`` masked off for tiny bricks.  The
     single definition of which words an all-full brick dedupes to — the
     compact builders and :func:`compact_brickmap` must agree on it."""
-    wpb = max(1, factor**3 // 32)
+    wpb = words_for_bits(factor**3)
     if factor**3 % 32 != 0:
         return np.asarray(pack_bits(jnp.arange(wpb * 32) < factor**3), np.uint32)
     return np.full((wpb,), 0xFFFFFFFF, np.uint32)
@@ -118,7 +123,9 @@ class BrickMap:
 
     @property
     def words_per_brick(self) -> int:
-        return max(1, self.factor**3 // 32)
+        # ceil, not floor: factors whose cube is not a multiple of 32
+        # (5, 6, 7, ...) need the partial tail word
+        return words_for_bits(self.factor**3)
 
     # -- queries (used by tests / host tools; the traversal inlines these) --
 
@@ -187,7 +194,7 @@ def _slab_to_chunks(slab, factor: int, chunks_y: int, chunks_x: int, brick_layou
     # (scatter-free — XLA TPU scatters are scalar-unit slow)
     cc = c.reshape(chunks_y * chunks_x, f, f, f)  # [chunk, z, y, x]
     flat = jax.vmap(lambda blk: layout_order_bits(blk, brick_layout))(cc)
-    nbits = max(32, f**3)
+    nbits = words_for_bits(f**3) * 32
     if flat.shape[1] < nbits:
         flat = jnp.concatenate(
             [flat, jnp.zeros((flat.shape[0], nbits - flat.shape[1]), jnp.bool_)], axis=1
@@ -303,7 +310,7 @@ def build_brickmap_terrain_compact(
     assert X % f == 0 and Y % f == 0 and Z % f == 0 and f <= 32
     gx, gy, gz = X // f, Y // f, Z // f
     brick_layout = choose_layout((f, f, f), brick_layout)
-    wpb = max(1, f**3 // 32)
+    wpb = words_for_bits(f**3)
     full_words = _full_brick_words(f)
     full_dev = jnp.asarray(full_words)
 
@@ -434,7 +441,7 @@ def build_brickmap_from_fn(
     gx, gy, gz = X // f, Y // f, Z // f
     coarse_layout = choose_layout((gx, gy, gz), coarse_layout)
     brick_layout = choose_layout((f, f, f), brick_layout)
-    wpb = max(1, f**3 // 32)
+    wpb = words_for_bits(f**3)
 
     occ_parts, bmin_parts, bmax_parts = [], [], []
     brick_rows = []  # per-slab compacted brick words (host)

@@ -55,13 +55,16 @@ def _batch_trace(bm: BrickMap, origins, rays, max_steps: int, fused=None) -> Ray
     hit_point = jnp.where(out.hit[:, None], out.position, inf3)
     diff = jnp.asarray(origins, F32) - out.position
     distance = jnp.where(out.hit, jnp.sqrt(jnp.sum(diff * diff, axis=-1)), 0.0)
-    # linear voxel index computed from the float hit position, like the
-    # reference's post-pass (VolumeRaytracer.cu:611-612)
-    p = out.position
+    # linear voxel index of the hit voxel (deliberate fix of the reference's
+    # post-pass, VolumeRaytracer.cu:611-612, which float-MACs the fractional
+    # hit point and casts once: that mis-buckets every hit with fractional
+    # y/z and loses integer exactness past 2^24).  The hit point lies ON the
+    # entry face; out.normal points into the hit voxel, so a half-voxel nudge
+    # along it lands inside the cell regardless of entry side, then the MAC
+    # is exact int32 (worlds past 2^31 voxels wrap, like the reference's int).
+    pi = jnp.floor(out.position + 0.5 * out.normal).astype(jnp.int32)
     voxel_index = jnp.where(
-        out.hit,
-        (p[:, 2] * (X * Y) + p[:, 1] * X + p[:, 0]).astype(jnp.int32),
-        0,
+        out.hit, pi[:, 2] * (X * Y) + pi[:, 1] * X + pi[:, 0], 0
     )
     return RayTraceResults(
         valid=out.hit,

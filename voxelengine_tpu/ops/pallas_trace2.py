@@ -61,7 +61,7 @@ def _bm_kernel(
 ):
     GX, GY, GZ = grid_dims
     f = factor
-    wpb = max(1, f**3 // 32)
+    wpb = (f**3 + 31) // 32  # ceil: match BrickMap.words_per_brick
     meta_limbs = meta_limbs_ref[:]
     brick_limbs = brick_limbs_ref[:]
     sx, sy, sz = ox_ref[:], oy_ref[:], oz_ref[:]

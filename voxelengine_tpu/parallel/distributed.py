@@ -385,7 +385,7 @@ def trace_brickmap_hbm_zsharded(
     from voxelengine_tpu.ops.pallas_bigtrace import LineTable, trace_brickmap_hbm
 
     n_dev = mesh.devices.size
-    wpb = max(1, zw.factor ** 3 // 32)
+    wpb = (zw.factor ** 3 + 31) // 32  # ceil: match BrickMap.words_per_brick
     # pass rays through UN-normalized (the kernel normalizes internally;
     # normalizing here too would shift directions by 1 ULP vs the
     # single-device call).  The min-t combine only needs per-device

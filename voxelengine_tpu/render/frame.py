@@ -70,7 +70,7 @@ def block_geometry(cfg: RenderConfig):
     return bw, bh, (cfg.width // bw) * (rows // bh)
 
 
-def block_permutation_from_steps(steps, cfg: RenderConfig):
+def block_permutation_from_steps(steps, cfg: RenderConfig, prev_perm=None):
     """Difficulty-sort permutation of pixel blocks from a previous frame's
     per-ray step counts (taken in tile_order).
 
@@ -78,11 +78,15 @@ def block_permutation_from_steps(steps, cfg: RenderConfig):
     of similar path length means a tile of easy blocks is never chained to
     a horizon straggler block (lockstep waste drops toward the block-level
     bound).  Purely a performance reordering — results are scatter-exact
-    regardless of ray order.  Temporal: frame N's steps sort frame N+1.
+    regardless of ray order.  Temporal: frame N's steps sort frame N+1;
+    if frame N itself rendered under a permutation, pass it as
+    ``prev_perm`` so stream-slot costs map back to original block ids
+    (stream block j of a permuted frame is original block prev_perm[j]).
     """
     bw, bh, nb = block_geometry(cfg)
     cost = steps.reshape(nb, bw * bh).max(axis=1)
-    return jnp.argsort(-cost)
+    order = jnp.argsort(-cost)
+    return order if prev_perm is None else jnp.asarray(prev_perm)[order]
 
 
 def _unblock(a, cfg: RenderConfig, block_perm=None):
@@ -238,7 +242,7 @@ def probe_use_macro(bm, lt, origins, dirs, cfg: RenderConfig, stride=4):
     return int(np.asarray(ph["mskip"]).sum()) != 0
 
 
-def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
+def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps, fused=None):
     """Secondary-ray trace (shadows, AO): uses the HBM line-table kernel
     when one is available (the XLA path is gather-bound on big worlds)."""
     if lt is not None:
@@ -247,12 +251,12 @@ def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps):
             tile=cfg.trace_tile, num_slots=cfg.trace_slots,
             shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
         )
-    return trace_brickmap(bm, origins, dirs, max_steps)
+    return trace_brickmap(bm, origins, dirs, max_steps, fused=fused)
 
 
 def _ambient_occlusion(
     bm: BrickMap, position, normal, px, py, frame_number, cfg: RenderConfig,
-    lt=None,
+    lt=None, fused=None,
 ):
     """Hemisphere-sampled AO (working version of the reference's disabled
     scaffolding, ``Renderer.cu:120-165``): short 8-step occlusion rays with
@@ -261,7 +265,10 @@ def _ambient_occlusion(
     seed = (py * W + px).astype(jnp.int32)
     occ = jnp.zeros(position.shape[0], F32)
     for i in range(cfg.ao_samples):
-        si = seed + jnp.int32(i * 1000) + (frame_number + 1) * 1000
+        # distinct multipliers for the sample and frame terms: a shared
+        # 1000 would alias frame n sample i with frame n+1 sample i-1,
+        # re-tracing ao_samples-1 identical directions every frame
+        si = seed + jnp.int32(i * 1000) + (frame_number + 1) * 7919
         sd = jnp.stack(
             [
                 random_float(si.astype(jnp.uint32)) * 2.0 - 1.0,
@@ -273,7 +280,7 @@ def _ambient_occlusion(
         sd = sd / jnp.linalg.norm(sd, axis=-1, keepdims=True)
         below = jnp.sum(sd * normal, axis=-1) < 0.0
         sd = jnp.where(below[:, None], reflect(sd, normal), sd)
-        res = _secondary_trace(bm, lt, cfg, position + normal * 0.01, sd, 8)
+        res = _secondary_trace(bm, lt, cfg, position + normal * 0.01, sd, 8, fused)
         dist = jnp.linalg.norm(res.position - position, axis=-1)
         falloff = 1.0 - jnp.minimum(1.0 / jnp.maximum(dist * 10.0, 1e-6), 1.0)
         occ = occ + jnp.where(res.hit, falloff, 1.0)
@@ -329,7 +336,8 @@ def shade_pixels(
     else:
         out = trace_brickmap(bm, origins, dirs, cfg.max_steps, fused=fused)
     return shade_traced(
-        bm, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, lt
+        bm, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg, lt,
+        fused=fused,
     )
 
 
@@ -346,9 +354,11 @@ def shade_traced(
     frame_number,
     cfg: RenderConfig,
     lt: Optional[LineTable] = None,
+    fused=None,
 ):
     """Shading/compositing stage of ``screenDispatch`` given trace results;
-    ``bm`` is only needed for the optional shadow/AO secondary traces."""
+    ``bm``/``lt``/``fused`` are only needed for the optional shadow/AO
+    secondary traces (``fused`` keeps the XLA fallback single-gather)."""
     W, H = cfg.width, cfg.height
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
@@ -360,7 +370,7 @@ def shade_traced(
         sres = _secondary_trace(
             bm, lt, cfg,
             out.position + L * 0.01, jnp.broadcast_to(L, normal.shape),
-            cfg.max_steps,
+            cfg.max_steps, fused,
         )
         shadow_hit = sres.hit & out.hit
         steps = steps + jnp.where(out.hit, sres.steps, 0)
@@ -372,7 +382,7 @@ def shade_traced(
         if cfg.ao_samples > 0 and bm is not None:
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
             ao = _ambient_occlusion(
-                bm, out.position, normal, px, py, frame_number, cfg, lt
+                bm, out.position, normal, px, py, frame_number, cfg, lt, fused
             )
             color = jnp.where((l_dot == 0.0)[:, None], color * ao[:, None], color)
         color = tonemap(color)
