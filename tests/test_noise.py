@@ -80,7 +80,13 @@ def test_conversion_saturation():
     u = np.asarray(N.f32_to_u32_sat(vals))
     assert u[0] == 0 and u[1] == 0 and u[2] == 1 and u[3] == 0xFFFFFFFF and u[4] == 0
     i = np.asarray(N.f32_to_i32_sat(vals))
-    assert i[0] == -5 and i[2] == 1 and i[3] == 2147483520 and i[4] == 0
+    # positive overflow saturates to INT_MAX exactly (cvt.rzi.s32.f32), not
+    # to the largest f32 below 2^31
+    assert i[0] == -5 and i[2] == 1 and i[3] == 2147483647 and i[4] == 0
+    assert i[5] == 2147483008  # f32 rounds 2147483000 up; below 2^31, no sat
+    # u32 overflow branch: float32(2^32-1) rounds to 2^32, must still pin
+    big = np.asarray(N.f32_to_u32_sat(jnp.float32(4294967040.0)))
+    assert big == 4294967040
 
 
 def test_other_basis_noises_run_and_bounded():
@@ -119,3 +125,25 @@ def test_grad_quirk_table():
     assert vals[0xD] == -y + z
     assert vals[0xE] == y - x
     assert vals[0xF] == -y - z
+
+
+def test_turbulence_unhandled_bases_match_reference_switch():
+    """DISCRETE/SPOTS are absent from the reference turbulence switches
+    (cuda_noise.cuh:799-860): in-basis applies no offset, out-basis returns
+    0.0 — the port must not crash or invent behavior."""
+    pos = jnp.asarray(COORDS)
+    # in_basis unhandled -> no offset -> equals out pass on raw pos
+    got = N.turbulence(pos, 1.0, 2.0, 7, 0.5, N.Basis.DISCRETE, N.Basis.PERLIN)
+    want = N.perlin_noise(pos, 2.0, 7)
+    assert np.allclose(np.asarray(got), np.asarray(want))
+    # out_basis unhandled -> 0.0
+    got0 = N.turbulence(pos, 1.0, 2.0, 7, 0.5, N.Basis.PERLIN, N.Basis.SPOTS)
+    assert (np.asarray(got0) == 0.0).all()
+
+
+def test_repeater_perlin_bounded_high_octaves_wraps():
+    """(i+38)*27389482 exceeds INT32_MAX from i=41: the per-octave seed must
+    wrap like C int arithmetic instead of raising on the int32 conversion."""
+    pos = jnp.asarray(COORDS)
+    out = np.asarray(N.repeater_perlin_bounded(pos, 1.0, 3, 44, 2.0, 0.5, 0.1))
+    assert np.isfinite(out).all()

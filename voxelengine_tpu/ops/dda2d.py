@@ -34,8 +34,10 @@ def brickmap2d_from_dense(dense2d, factor: int) -> BrickMap:
     d = np.asarray(dense2d)
     vol = np.zeros((factor,) + d.shape, bool)
     vol[0] = d
-    return build_brickmap(BitGrid.from_dense(vol), factor, dense_slots=False,
-                          dedupe_uniform=False)
+    # LINEAR like grid2d_from_dense: the tiled layouts need depth % 8 == 0,
+    # which a factor-deep plane (factor can be any value <= 32) is not
+    return build_brickmap(BitGrid.from_dense(vol, layout=Layout.LINEAR),
+                          factor, dense_slots=False, dedupe_uniform=False)
 
 
 def _lift(p2):

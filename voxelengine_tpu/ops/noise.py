@@ -75,20 +75,28 @@ class Shape(enum.Enum):
 
 def f32_to_u32_sat(x):
     """float32 -> uint32 like CUDA ``(unsigned int)f``: truncate toward zero,
-    saturate negatives to 0 and overflow to UINT_MAX, NaN -> 0."""
+    saturate negatives to 0 and overflow to UINT_MAX, NaN -> 0.
+
+    The overflow branch is explicit: ``float32(2^32 - 1)`` rounds UP to 2^32,
+    so clipping to it still leaves an out-of-range value whose uint32
+    conversion is backend-defined — the select pins every backend to the
+    CUDA saturate."""
     x = jnp.asarray(x, jnp.float32)
     x = jnp.where(jnp.isnan(x), 0.0, x)
-    x = jnp.clip(x, 0.0, _U32_MAX_F)
-    return x.astype(jnp.uint32)
+    hi = x >= jnp.float32(4294967296.0)  # 2^32: exact in f32
+    x = jnp.clip(x, 0.0, jnp.float32(4294967040.0))  # largest f32 below 2^32
+    return jnp.where(hi, jnp.uint32(0xFFFFFFFF), x.astype(jnp.uint32))
 
 
 def f32_to_i32_sat(x):
     """float32 -> int32 like CUDA ``(int)f``: truncate toward zero with
-    saturation."""
+    saturation (positive overflow -> INT_MAX exactly, as ``cvt.rzi.s32.f32``
+    saturates — not the largest-representable-f32 2147483520)."""
     x = jnp.asarray(x, jnp.float32)
     x = jnp.where(jnp.isnan(x), 0.0, x)
+    hi = x >= jnp.float32(2147483648.0)  # 2^31: exact in f32
     x = jnp.clip(x, _I32_MIN_F, _I32_MAX_F)
-    return x.astype(jnp.int32)
+    return jnp.where(hi, jnp.int32(2147483647), x.astype(jnp.int32))
 
 
 def _f32(x):
@@ -547,7 +555,8 @@ def repeater_perlin_bounded(pos, scale, seed, n: int, lacunarity, decay, thresho
     amp = jnp.float32(1.0)
     scale = jnp.float32(scale)
     for i in range(n):
-        p = perlin_noise(pos * scale, 1.0, seed ^ jnp.int32((i + 38) * 27389482))
+        # _wrap_i32: (i+38)*27389482 exceeds INT32_MAX from i=41 (n >= 42)
+        p = perlin_noise(pos * scale, 1.0, seed ^ jnp.int32(_wrap_i32((i + 38) * 27389482)))
         nxt = acc * (1.0 - saturate(0.5 + 0.5 * p) * amp)
         acc = jnp.where(dead, acc, nxt)
         dead = dead | (acc < threshold)
@@ -705,26 +714,31 @@ def turbulence(pos, scale_in, scale_out, seed, strength, in_basis: Basis, out_ba
     each component offset sees the previously-offset ``pos``."""
     pos = _f32(pos)
     seed = jnp.asarray(seed, jnp.int32)
-    sx, sy, sz = _TURB_SEEDS[in_basis]
+    seeds = _TURB_SEEDS.get(in_basis)
+    if seeds is not None:  # reference in-switch default: no offset
+        sx, sy, sz = seeds
 
-    def offset_basis(p, s):
-        if in_basis is Basis.WORLEY:
-            return worley_noise(p, scale_in, s, 1.0, 4, 4, 1.0)
-        return _basis_eval(in_basis, p, scale_in, s)
+        def offset_basis(p, s):
+            if in_basis is Basis.WORLEY:
+                return worley_noise(p, scale_in, s, 1.0, 4, 4, 1.0)
+            return _basis_eval(in_basis, p, scale_in, s)
 
-    px = pos[..., 0] + offset_basis(pos, seed ^ jnp.int32(sx)) * strength
-    pos = jnp.stack([px, pos[..., 1], pos[..., 2]], axis=-1)
-    py = pos[..., 1] + offset_basis(pos, seed ^ jnp.int32(sy)) * strength
-    pos = jnp.stack([pos[..., 0], py, pos[..., 2]], axis=-1)
-    pz = pos[..., 2] + offset_basis(pos, seed ^ jnp.int32(sz)) * strength
-    pos = jnp.stack([pos[..., 0], pos[..., 1], pz], axis=-1)
+        px = pos[..., 0] + offset_basis(pos, seed ^ jnp.int32(sx)) * strength
+        pos = jnp.stack([px, pos[..., 1], pos[..., 2]], axis=-1)
+        py = pos[..., 1] + offset_basis(pos, seed ^ jnp.int32(sy)) * strength
+        pos = jnp.stack([pos[..., 0], py, pos[..., 2]], axis=-1)
+        pz = pos[..., 2] + offset_basis(pos, seed ^ jnp.int32(sz)) * strength
+        pos = jnp.stack([pos[..., 0], pos[..., 1], pz], axis=-1)
 
     # out pass (cuda_noise.cuh:842-859) — note SIMPLEX/WORLEY use scaleIn
-    # in the reference (quirk preserved)
+    # in the reference (quirk preserved), and DISCRETE/SPOTS fall past the
+    # switch to `return 0.0f`
     if out_basis is Basis.SIMPLEX:
         return simplex_noise(pos, scale_in, seed)
     if out_basis is Basis.WORLEY:
         return worley_noise(pos, scale_in, seed, 1.0, 4, 4, 1.0)
+    if out_basis in (Basis.DISCRETE, Basis.SPOTS):
+        return jnp.zeros(pos.shape[:-1], jnp.float32)
     return _basis_eval(out_basis, pos, scale_out, seed)
 
 

@@ -52,6 +52,10 @@ class TtyInput(InputSource):
         self._old = termios.tcgetattr(self._fd)
         tty.setcbreak(self._fd)
 
+    # every key voxel_app handles: move + fly, speed boost 'b', break/place
+    # 'f'/'g' (apps/voxel_app.py:210-264)
+    _KEYS = "wasdqebfg"
+
     def poll(self) -> List[KeyEvent]:
         events: List[KeyEvent] = []
         while select.select([sys.stdin], [], [], 0)[0]:
@@ -62,8 +66,13 @@ class TtyInput(InputSource):
                     if len(seq) == 2 and seq[0] == "[" and seq[1] in self._ARROWS:
                         events.append(KeyEvent(self._ARROWS[seq[1]]))
                         continue
+                    # some other escape sequence (PgUp, F-keys, ...): drain
+                    # its tail and ignore it — only a bare ESC quits
+                    while select.select([sys.stdin], [], [], 0)[0]:
+                        os.read(self._fd, 1)
+                    continue
                 events.append(KeyEvent("quit"))
-            elif ch.lower() in "wasdqe":
+            elif len(ch) == 1 and ch.lower() in self._KEYS:
                 events.append(KeyEvent(ch.lower()))
             elif ch == "X" or ch == "x":
                 events.append(KeyEvent("quit"))

@@ -21,8 +21,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from voxelengine_tpu.core.bitgrid import BitGrid, pack_bits
-from voxelengine_tpu.core.layout import Layout, sample_index
+from voxelengine_tpu.core.bitgrid import BitGrid, layout_order_bits, pack_bits
+from voxelengine_tpu.core.layout import Layout
 from voxelengine_tpu.ops.noise import repeater_perlin
 
 DEFAULT_SEED = 0x71889283  # VoxelWorldBuilder.cu:6
@@ -81,8 +81,22 @@ def generate_world(
     xdim, ydim, zdim = dims
     slab_z = min(slab_z, zdim)
     assert zdim % slab_z == 0, "zdim must be divisible by slab_z"
-    slabs = []
+    # Pack each slab to words as it is generated and concatenate the WORDS
+    # (32x smaller than bools), never materializing the dense world: every
+    # layout's bit order is z-tile-outermost (LINEAR: z rows; tiled: tz tile
+    # rows), so a slab whose height is tile-aligned packs to a contiguous,
+    # word-aligned range of the full stream — byte-identical to the
+    # single-shot from_dense.
+    slab_bits = xdim * ydim * slab_z
+    tile_ok = slab_z % 8 == 0 if layout is not Layout.LINEAR else True
+    if slab_z == zdim or slab_bits % 32 != 0 or not tile_ok:
+        dense = jnp.concatenate(
+            [_gen_slab(z0, (xdim, ydim, slab_z), seed, octaves)
+             for z0 in range(0, zdim, slab_z)], axis=0,
+        )
+        return BitGrid.from_dense(dense, layout)
+    word_rows = []
     for z0 in range(0, zdim, slab_z):
-        slabs.append(_gen_slab(z0, (xdim, ydim, slab_z), seed, octaves))
-    dense = jnp.concatenate(slabs, axis=0)
-    return BitGrid.from_dense(dense, layout)
+        slab = _gen_slab(z0, (xdim, ydim, slab_z), seed, octaves)
+        word_rows.append(pack_bits(layout_order_bits(slab, layout)))
+    return BitGrid(jnp.concatenate(word_rows), (xdim, ydim, zdim), layout)
