@@ -14,6 +14,7 @@ driver-facing single-metric bench is ``bench.py`` (config 4).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -216,6 +217,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also run config 4 (bench.py)")
     args = ap.parse_args()
+    # same guard as bench.py: a silent axon-tunnel CPU fallback would run
+    # all configs 100-1000x slow and feed garbage into BASELINE.md
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    _bench._require_tpu()
     print(f"devices: {jax.devices()}\n")
     for fn in (config1, config2, config3, config5):
         t0 = time.perf_counter()

@@ -111,7 +111,7 @@ def main():
                       "huge": (16384, 512, 16384)}[args.bench_world]
         key = (f"terrain_{bench_dims[0]}x{bench_dims[1]}x{bench_dims[2]}"
                f"_f32_o32_v1")
-        with timed("Voxel generation + buffer generation time"):
+        with timed("Voxel generation + buffer generation time") as _t:
             if args.bench_world == "huge":
                 from voxelengine_tpu.ops.pallas_bigtrace import (
                     host_brick_lines,
@@ -136,18 +136,21 @@ def main():
                 lt = materialize_brick_lines(
                     bm, line_table_or_build(".world_cache", key + "_lt1", bm)
                 )
+            _t.sync = (bm, lt)  # async uploads count toward the bracket
         rt = VoxelRaytracer3D()
         rt.upload_world_lines(bm, lt)
         grid = None
     elif args.dense:
         from voxelengine_tpu.worldgen.terrain import generate_world
 
-        with timed("Voxel generation time"):
+        with timed("Voxel generation time") as _t:
             grid = generate_world(tuple(args.size), octaves=args.octaves)
+            _t.sync = grid
         rt = None
     else:
-        with timed("Voxel generation + buffer generation time"):  # main.cu:26,32
+        with timed("Voxel generation + buffer generation time") as _t:  # main.cu:26,32
             bm = build_world(tuple(args.size), args.factor, args.octaves)
+            _t.sync = bm
         rt = VoxelRaytracer3D(line_table=not args.xla_trace)
         rt.upload_world(bm)
 
@@ -246,7 +249,11 @@ def main():
                 dz = float(ev.key[7:])
                 ortho_zoom[:] = np.maximum(ortho_zoom - dz * 10.0, 1.0)
             elif ev.key in ("f", "g") and rt is not None and (
-                args.bench_world != "huge"  # 16k: raw bricks are host-side
+                # edits need dense-slot brickmaps (apply_edits* contract);
+                # the compact bench worlds (and 16k's host-side bricks)
+                # can't be edited in place — ignore the key instead of
+                # asserting inside the render loop
+                rt.world.dense_slots
             ):
                 # crosshair voxel break/place
                 fwd2, _, _ = get_directions_np(euler)
@@ -257,7 +264,10 @@ def main():
                 if bool(res.hit[0]):
                     p = np.asarray(res.position[0])
                     n = np.asarray(res.normal[0])
-                    tgt = p - 0.5 * n if ev.key == "f" else p + 0.5 * n
+                    # trace normal points INTO the hit voxel: +0.5n lands in
+                    # the hit voxel (break), -0.5n in the face-adjacent air
+                    # voxel (place)
+                    tgt = p + 0.5 * n if ev.key == "f" else p - 0.5 * n
                     v = np.clip(tgt.astype(int), 0, np.array(rt.world.world_dims) - 1)
                     rt.edit_voxels(
                         jnp.asarray([v[0]]), jnp.asarray([v[1]]), jnp.asarray([v[2]]),
@@ -280,15 +290,23 @@ def main():
             )
         if frame % args.present_every == 0:
             data.pixels[...] = np.asarray(to_bgra8(fb))
+        else:
+            # stale staging buffer: skip the sink submit too (no readback
+            # AND no re-encode of unchanged bytes)
+            data.present = False
         frame += 1
         ema = timer.tick()
         if frame % 10 == 0:
             print(f"[{frame}] Avg FPS: {timer.fps:.1f} ({ema:.2f} ms)")
 
     renderer.add_render_event_callback(on_frame)
-    while running and (nframes is None or frame < nframes):
-        renderer.render()
-    renderer.close()
+    try:
+        while running and (nframes is None or frame < nframes):
+            renderer.render()
+    finally:
+        renderer.close()
+        if hasattr(src, "close"):
+            src.close()  # restore the tty's termios state
     print(f"presented {renderer.frames_presented} frames")
 
 

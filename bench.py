@@ -103,10 +103,7 @@ def main():
 
     from voxelengine_tpu.config import Environment, RenderConfig
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
-    from voxelengine_tpu.ops.pallas_bigtrace import (
-        make_line_table,
-        trace_brickmap_hbm,
-    )
+    from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm
     from voxelengine_tpu.ops.trace import make_fused_table, trace_brickmap
     from voxelengine_tpu.render.frame import (
         block_permutation_from_steps,
@@ -349,6 +346,12 @@ def main():
         f"hit-rate {np.asarray(ref.hit).mean():.3f}  "
         f"{backend}-vs-plain-XLA hit diffs {diffs}/{steps.size}  "
         f"steps mean {steps.mean():.1f} p99 {np.percentile(steps,99):.0f}")
+    if diffs > steps.size // 10000:
+        # a fast-but-wrong traversal is not a benchmark result: fail the
+        # run BEFORE the JSON line is printed, so even a stdout-only
+        # scraper never sees a number for an invalid run
+        log(f"FATAL: hit diffs above 0.01% tolerance ({diffs}/{steps.size})")
+        sys.exit(4)
     metric = (f"primary_mrays_per_s_{cfg.height}p_checkerboard_"
               + {"small": "1k", "full": "8k", "huge": "16k"}[world] + "_world")
     print(json.dumps({
@@ -357,11 +360,6 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 1000.0, 6),
     }))
-    if diffs > steps.size // 10000:
-        # a fast-but-wrong traversal is not a benchmark result: fail the
-        # run so no automation records the number as valid
-        log(f"FATAL: hit diffs above 0.01% tolerance ({diffs}/{steps.size})")
-        sys.exit(4)
 
 
 if __name__ == "__main__":

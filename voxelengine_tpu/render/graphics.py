@@ -37,6 +37,7 @@ class Graphics:
         self._env = Environment.default()
         self._fb = make_framebuffer(self._cfg)
         self._frame = 0
+        self._ortho = None  # traced override; cfg.ortho_size stays static
 
     # -- setters (Renderer.cu:278-303) --------------------------------------
 
@@ -52,7 +53,10 @@ class Graphics:
         self._cfg = dataclasses.replace(self._cfg, fov_degrees=float(fov_degrees))
 
     def set_ortho_window_size(self, size: Tuple[float, float]) -> None:
-        self._cfg = dataclasses.replace(self._cfg, ortho_size=(float(size[0]), float(size[1])))
+        # traced render_frame argument, NOT a cfg replace: cfg is a static
+        # jit arg, so baking the size in would recompile the whole frame
+        # pipeline on every zoom tick (the scroll-wheel path)
+        self._ortho = jnp.asarray([float(size[0]), float(size[1])], jnp.float32)
 
     def set_projection(self, projection: Projection) -> None:
         self._cfg = dataclasses.replace(self._cfg, projection=projection)
@@ -77,7 +81,8 @@ class Graphics:
         self._fb = render_frame(
             rt.world, self._fb, jnp.asarray(origin, jnp.float32),
             jnp.asarray(euler, jnp.float32), self._env,
-            jnp.int32(self._frame), self._cfg, rt.fused_table,
+            jnp.int32(self._frame), self._cfg, rt.fused_table, rt.line_table,
+            ortho_size=self._ortho,
         )
         self._frame += 1
         return self._fb

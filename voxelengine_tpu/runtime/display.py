@@ -30,6 +30,9 @@ class CallbackData:
     width: int
     height: int
     pixels: np.ndarray  # uint8 [H, W, 4] BGRA
+    present: bool = True  # callbacks may clear: skip this cycle's sink submit
+    # (the "don't present a stale staging buffer" analog of skipping
+    # SDL_RenderPresent)
 
 
 def _encode_png(rgb: np.ndarray) -> bytes:
@@ -157,7 +160,8 @@ class Renderer:
         data = CallbackData(self, self.width, self.height, self._pixels)
         for cb in self._callbacks:
             cb(data)
-        self._sink.submit(self._pixels)
+        if data.present:
+            self._sink.submit(self._pixels)
 
     @property
     def frames_presented(self) -> int:

@@ -17,13 +17,30 @@ from typing import Dict, List
 import jax
 
 
+class _TimedHandle:
+    """Set ``sync`` to the bracket's produced arrays (any pytree) so the
+    timer can block on them."""
+
+    sync = None
+
+
 @contextlib.contextmanager
 def timed(label: str, sink: Dict[str, float] | None = None, verbose: bool = True):
-    """Wall-clock bracket; blocks on device completion like the reference's
-    ``cudaDeviceSynchronize`` before reading the clock."""
+    """Wall-clock bracket, the ``cudaDeviceSynchronize``-then-read-clock
+    analog.  JAX dispatch is async and ``jax.effects_barrier`` only awaits
+    EFFECTFUL work — to include in-flight pure computations/transfers,
+    hand the produced values to the bracket::
+
+        with timed("build") as t:
+            bm = build(...)
+            t.sync = bm          # block_until_ready'd before the clock read
+    """
+    h = _TimedHandle()
     t0 = time.perf_counter()
-    yield
+    yield h
     jax.effects_barrier()
+    if h.sync is not None:
+        jax.block_until_ready(h.sync)
     ms = (time.perf_counter() - t0) * 1000.0
     if sink is not None:
         sink[label] = ms
