@@ -185,3 +185,45 @@ def test_zsharded_render_hbm_matches_single(rng, mesh):
     out = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler, env,
                                 jnp.int32(0), cfg, mesh, zw=zw)
     assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_zsharded_render_secondary_shading(rng, mesh):
+    """Shadow + AO rays route through the sharded tracers (they are just
+    more ray batches).  The XLA migration path carries exact global step
+    budgets, so the shaded frame matches single-device to float tolerance;
+    the replicated-walk kernel path matches up to the documented per-slab
+    budget delta on 8-step AO rays, whose falloff makes far-hit/miss
+    disagreements invisible at 3e-2."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+    from voxelengine_tpu.parallel.distributed import (
+        make_zsharded_hbm,
+        render_frame_zsharded,
+    )
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    bm, _, _ = _world_and_rays(rng)
+    cfg = RenderConfig(
+        width=32, height=16, checkerboard=False,
+        shadow_rays=True, ao_samples=2,
+    )
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 48.0, 32.0], jnp.float32)
+    euler = jnp.asarray([-0.6, 0.4, 0.0], jnp.float32)
+
+    # XLA migration path: global budgets -> same frame
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                       jnp.int32(0), cfg)
+    out = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler,
+                                env, jnp.int32(0), cfg, mesh)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-6)
+
+    # replicated-walk kernel path: shadows exact, AO within falloff noise
+    lt = make_line_table(bm)
+    refk = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                        jnp.int32(0), cfg, lt=lt)
+    zw = jax.device_put(make_zsharded_hbm(bm, 8), NamedSharding(mesh, P("shards")))
+    outk = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler,
+                                 env, jnp.int32(0), cfg, mesh, zw=zw)
+    assert np.allclose(np.asarray(refk), np.asarray(outk), atol=3e-2)

@@ -201,16 +201,20 @@ def render_frame_zsharded(
     """``render_frame`` over a z-slab-sharded world: the distributed-memory
     frame entry (the world is partitioned across the mesh; only ray state
     crosses ICI).  Exact :func:`voxelengine_tpu.render.frame.render_frame`
-    semantics for the primary-ray render modes; secondary-trace shading
-    (shadow rays, AO) would need further distributed trace rounds and is
-    not supported on this path.
+    semantics including secondary-trace shading: shadow and AO rays are
+    just more ray batches, routed through the same sharded tracer as the
+    primaries (each secondary pass is one more replicated walk / migration
+    round set — still no world data on the wire).
 
     ``zw``: a :class:`ZShardedHBM` world — trace through the flagship HBM
     Pallas kernel via the replicated-walk path instead of the XLA
     migration loop (``bm`` is then only used as a donation-free pytree
     placeholder and may be the same brickmap the world was sharded from).
     Frames are identical up to the documented steps delta, which only the
-    steps-debug view renders.
+    steps-debug view renders (and, for budget-truncated secondary rays,
+    the replicated walk's per-slab step budget — hits those rays reach
+    behind cheap foreign space contribute ~= a miss through the AO
+    falloff).
     """
     from voxelengine_tpu.render.frame import (
         composite_frame,
@@ -218,20 +222,23 @@ def render_frame_zsharded(
         shade_traced,
     )
 
-    assert not cfg.shadow_rays and cfg.ao_samples == 0, (
-        "zsharded render: secondary-trace shading unsupported"
-    )
-    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     if zw is not None:
-        out = trace_brickmap_hbm_zsharded(
-            zw, origins, dirs, mesh, cfg.max_steps,
-            tile=cfg.trace_tile, num_slots=cfg.trace_slots,
-            shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
-        )
+        def trace(o, d, ms):
+            return trace_brickmap_hbm_zsharded(
+                zw, o, d, mesh, ms,
+                tile=cfg.trace_tile, num_slots=cfg.trace_slots,
+                shortlist=cfg.trace_shortlist, use_macro=cfg.trace_use_macro,
+            )
     else:
-        out = trace_brickmap_zsharded(bm, origins, dirs, mesh, cfg.max_steps)
+        def trace(o, d, ms):
+            return trace_brickmap_zsharded(bm, o, d, mesh, ms)
+
+    origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
+    out = trace(origins, dirs, cfg.max_steps)
+    needs_secondary = cfg.shadow_rays or cfg.ao_samples > 0
     color, write = shade_traced(
-        None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg
+        None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg,
+        secondary=trace if needs_secondary else None,
     )
     return composite_frame(framebuffer, color, write, cfg, frame_number)
 

@@ -256,11 +256,13 @@ def _secondary_trace(bm, lt, cfg: RenderConfig, origins, dirs, max_steps, fused=
 
 def _ambient_occlusion(
     bm: BrickMap, position, normal, px, py, frame_number, cfg: RenderConfig,
-    lt=None, fused=None,
+    lt=None, fused=None, secondary=None,
 ):
     """Hemisphere-sampled AO (working version of the reference's disabled
     scaffolding, ``Renderer.cu:120-165``): short 8-step occlusion rays with
-    distance falloff, seeded per pixel/frame via the noise hash."""
+    distance falloff, seeded per pixel/frame via the noise hash.
+    ``secondary``: optional ``(origins, dirs, max_steps) -> TraceOut``
+    override for the occlusion traces (distributed-world renders)."""
     W = cfg.width
     seed = (py * W + px).astype(jnp.int32)
     occ = jnp.zeros(position.shape[0], F32)
@@ -280,7 +282,11 @@ def _ambient_occlusion(
         sd = sd / jnp.linalg.norm(sd, axis=-1, keepdims=True)
         below = jnp.sum(sd * normal, axis=-1) < 0.0
         sd = jnp.where(below[:, None], reflect(sd, normal), sd)
-        res = _secondary_trace(bm, lt, cfg, position + normal * 0.01, sd, 8, fused)
+        res = (
+            secondary(position + normal * 0.01, sd, 8)
+            if secondary is not None
+            else _secondary_trace(bm, lt, cfg, position + normal * 0.01, sd, 8, fused)
+        )
         dist = jnp.linalg.norm(res.position - position, axis=-1)
         falloff = 1.0 - jnp.minimum(1.0 / jnp.maximum(dist * 10.0, 1e-6), 1.0)
         occ = occ + jnp.where(res.hit, falloff, 1.0)
@@ -355,22 +361,30 @@ def shade_traced(
     cfg: RenderConfig,
     lt: Optional[LineTable] = None,
     fused=None,
+    secondary=None,
 ):
     """Shading/compositing stage of ``screenDispatch`` given trace results;
     ``bm``/``lt``/``fused`` are only needed for the optional shadow/AO
-    secondary traces (``fused`` keeps the XLA fallback single-gather)."""
+    secondary traces (``fused`` keeps the XLA fallback single-gather).
+    ``secondary``: optional ``(origins, dirs, max_steps) -> TraceOut``
+    trace override — distributed-world renders route shadow/AO rays through
+    their own sharded tracer instead of a local brickmap."""
     W, H = cfg.width, cfg.height
     normal = -out.normal  # Renderer.cu:212
     steps = out.steps
 
     cam_pos = jnp.asarray(origin, F32)
     shadow_hit = None
-    if cfg.shadow_rays and bm is not None:
+    if cfg.shadow_rays and (bm is not None or secondary is not None):
         L = env.light_direction
-        sres = _secondary_trace(
-            bm, lt, cfg,
-            out.position + L * 0.01, jnp.broadcast_to(L, normal.shape),
-            cfg.max_steps, fused,
+        sdirs = jnp.broadcast_to(L, normal.shape)
+        sres = (
+            secondary(out.position + L * 0.01, sdirs, cfg.max_steps)
+            if secondary is not None
+            else _secondary_trace(
+                bm, lt, cfg, out.position + L * 0.01, sdirs, cfg.max_steps,
+                fused,
+            )
         )
         shadow_hit = sres.hit & out.hit
         steps = steps + jnp.where(out.hit, sres.steps, 0)
@@ -379,10 +393,11 @@ def shade_traced(
 
     if cfg.debug_view is DebugView.SHADED:
         color = calculate_color(cam_pos, normal, out.position, env, shadow_hit)
-        if cfg.ao_samples > 0 and bm is not None:
+        if cfg.ao_samples > 0 and (bm is not None or secondary is not None):
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
             ao = _ambient_occlusion(
-                bm, out.position, normal, px, py, frame_number, cfg, lt, fused
+                bm, out.position, normal, px, py, frame_number, cfg, lt, fused,
+                secondary,
             )
             color = jnp.where((l_dot == 0.0)[:, None], color * ao[:, None], color)
         color = tonemap(color)
