@@ -98,3 +98,23 @@ def test_uneven_checkerboard_rows(small_world, mesh):
         render_frame_sharded(
             bmr, fb, jnp.zeros(3), jnp.zeros(3), env, jnp.int32(0), cfg, mesh
         )
+
+
+def test_sharded_render_secondary_shading_matches_single(small_world, mesh):
+    """Row sharding with shadow rays + AO: each device traces its own
+    secondary rays against the replicated world, so the shaded frame is
+    identical to the single-device render."""
+    _, _, bm = small_world
+    env = Environment.default()
+    cfg = RenderConfig(
+        width=32, height=16, checkerboard=False,
+        shadow_rays=True, ao_samples=2,
+    )
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+
+    bmr = replicate_world(mesh, bm)
+    fb = jax.device_put(make_framebuffer(cfg), NamedSharding(mesh, P("rows")))
+    fb = render_frame_sharded(bmr, fb, origin, euler, env, jnp.int32(0), cfg, mesh)
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(0), cfg)
+    assert np.allclose(np.asarray(fb), np.asarray(ref), atol=1e-6)
