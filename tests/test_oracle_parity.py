@@ -161,3 +161,35 @@ def test_trace_grid_take_initial_step(small_world):
     b = trace_grid(grid, o, d, take_initial_step=True)
     assert bool(a.hit[0]) and int(a.steps[0]) == 0
     assert (not bool(b.hit[0])) or int(b.steps[0]) > 0
+
+
+def test_brickmap_matches_grid_fractional_word_factors(rng):
+    """Traversal through factor-5/6 bricks (cube not a multiple of 32, so
+    bricks carry a partial tail word): the two-level path must agree with
+    the single-level dense DDA on the same geometry — exercises the ceil
+    words_per_brick through the fused addressing, not just the builder."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+
+    dense = rng.random((60, 60, 60)) < 0.01
+    dense[:, :6, :] = rng.random((60, 6, 60)) < 0.5
+    grid = BitGrid.from_dense(dense, layout=Layout.LINEAR)
+    n = 120
+    origins = (rng.random((n, 3)) * 110 - 25).astype(F32)
+    t = (rng.random((n, 3)) * 60).astype(F32)
+    rays = t - origins
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    rays = rays.astype(F32)
+
+    ref = trace_grid(grid, jnp.asarray(origins), jnp.asarray(rays))
+    assert np.asarray(ref.hit).any()
+    for f in (5, 6):
+        bm = build_brickmap(grid, f, coarse_layout=Layout.LINEAR)
+        out = trace_brickmap(bm, jnp.asarray(origins), jnp.asarray(rays))
+        assert np.array_equal(np.asarray(out.hit), np.asarray(ref.hit)), f
+        hits = np.asarray(ref.hit)
+        assert np.allclose(
+            np.asarray(out.position)[hits], np.asarray(ref.position)[hits],
+            atol=2e-3,
+        ), f
