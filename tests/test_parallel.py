@@ -118,3 +118,31 @@ def test_sharded_render_secondary_shading_matches_single(small_world, mesh):
     fb = render_frame_sharded(bmr, fb, origin, euler, env, jnp.int32(0), cfg, mesh)
     ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(0), cfg)
     assert np.allclose(np.asarray(fb), np.asarray(ref), atol=1e-6)
+
+
+def test_sharded_rays_through_flagship_kernel(small_world, ray_batch, mesh):
+    """raytrace_sharded(lt=...): each device traces its ray shard through
+    the HBM Pallas kernel; results equal the single-device kernel."""
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+
+    _, grid, _ = small_world
+    bm = build_brickmap(grid, 8, coarse_layout=Layout.LINEAR)
+    origins, rays = ray_batch
+    n = (len(origins) // 8) * 8
+    o, r = jnp.asarray(origins[:n]), jnp.asarray(rays[:n])
+
+    lt = make_line_table(bm)
+    ref = trace_brickmap_hbm(bm, lt, o, r, 512, tile=256, num_slots=4)
+
+    bmr = replicate_world(mesh, bm)
+    ltr = jax.device_put(lt, NamedSharding(mesh, P()))
+    out, mean_steps = raytrace_sharded(
+        bmr, o, r, mesh, max_steps=512, lt=ltr, tile=256, num_slots=4
+    )
+    assert np.array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    assert np.array_equal(np.asarray(out.position)[m], np.asarray(ref.position)[m])
+    assert np.array_equal(np.asarray(out.steps), np.asarray(ref.steps))
+    assert float(mean_steps) > 0

@@ -181,16 +181,36 @@ def render_frame_sharded(
     return fb
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "mesh", "tile", "num_slots")
+)
 def raytrace_sharded(
-    bm: BrickMap, origins, rays, mesh: Mesh, max_steps: int = 2048
+    bm: BrickMap,
+    origins,
+    rays,
+    mesh: Mesh,
+    max_steps: int = 2048,
+    lt=None,
+    tile: int = 2048,
+    num_slots: int = 16,
 ) -> Tuple[TraceOut, jax.Array]:
     """Batch ray query sharded over the flat ray axis.  Also returns the
     mesh-wide mean DDA step count (a ``psum`` diagnostic, the sharded analog
-    of the 2D prototype's average-steps metric, ``DDATestCpp.cpp:618-625``)."""
+    of the 2D prototype's average-steps metric, ``DDATestCpp.cpp:618-625``).
 
-    def shard(bm, o, r):
-        out = trace_brickmap(bm, o, r, max_steps)
+    ``lt``: replicated HBM line table — each device traces its ray shard
+    through the flagship Pallas kernel instead of the XLA state machine
+    (same flagship-vs-XLA choice as the render entries)."""
+
+    def shard(bm, lt_s, o, r):
+        if lt_s is not None:
+            from voxelengine_tpu.ops.pallas_bigtrace import trace_brickmap_hbm
+
+            out = trace_brickmap_hbm(
+                bm, lt_s, o, r, max_steps, tile=tile, num_slots=num_slots
+            )
+        else:
+            out = trace_brickmap(bm, o, r, max_steps)
         # f32 accumulator: an i32 sum wraps at frame-scale batches
         # (2M rays x ~1000+ steps exceeds 2^31)
         tot = jax.lax.psum(jnp.sum(out.steps.astype(F32)), "rows")
@@ -200,7 +220,7 @@ def raytrace_sharded(
     return jax.shard_map(
         shard,
         mesh=mesh,
-        in_specs=(P(), P("rows"), P("rows")),
+        in_specs=(P(), P(), P("rows"), P("rows")),
         out_specs=(P("rows"), P()),
         check_vma=False,
-    )(bm, jnp.asarray(origins, F32), jnp.asarray(rays, F32))
+    )(bm, lt, jnp.asarray(origins, F32), jnp.asarray(rays, F32))
