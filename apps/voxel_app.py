@@ -304,9 +304,11 @@ def main():
         while running and (nframes is None or frame < nframes):
             renderer.render()
     finally:
-        renderer.close()
-        if hasattr(src, "close"):
-            src.close()  # restore the tty's termios state
+        try:
+            renderer.close()
+        finally:
+            if hasattr(src, "close"):
+                src.close()  # restore the tty even if the sink close raises
     print(f"presented {renderer.frames_presented} frames")
 
 

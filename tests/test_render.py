@@ -297,3 +297,34 @@ def test_ortho_zoom_traced_override_matches_static(small_world):
                       base, None, None, None,
                       jnp.asarray([80.0, 60.0], jnp.float32))
     assert not bool(jnp.all(fb == fc))
+
+
+def test_block_permutation_composes_with_prev_perm():
+    """Temporal chaining: when frame N itself rendered under a permutation,
+    the steps stream is in permuted block order; prev_perm maps the sorted
+    stream slots back to original block ids."""
+    from voxelengine_tpu.render.frame import (
+        block_geometry,
+        block_permutation_from_steps,
+    )
+
+    cfg = RenderConfig(width=32, height=16, checkerboard=False, tile_order=True)
+    bw, bh, nb = block_geometry(cfg)
+    rng = np.random.default_rng(0)
+    cost = rng.permutation(nb).astype(np.int32)  # distinct per-block costs
+    steps_orig = np.repeat(cost, bw * bh)  # block-constant steps, tile order
+    want = np.argsort(-cost)  # heaviest ORIGINAL block first
+
+    # unpermuted frame: identity mapping
+    got0 = np.asarray(
+        block_permutation_from_steps(jnp.asarray(steps_orig), cfg)
+    )
+    assert np.array_equal(got0, want)
+
+    # frame N rendered under perm P: stream block j is original block P[j]
+    perm = rng.permutation(nb)
+    steps_stream = steps_orig.reshape(nb, -1)[perm].reshape(-1)
+    got = np.asarray(block_permutation_from_steps(
+        jnp.asarray(steps_stream), cfg, prev_perm=jnp.asarray(perm)
+    ))
+    assert np.array_equal(got, want)

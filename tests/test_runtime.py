@@ -81,3 +81,38 @@ def test_png_sink_roundtrip(tmp_path, force_python):
     img = np.asarray(PIL.open(tmp_path / "latest.png"))
     assert np.array_equal(img, bgra[..., [2, 1, 0]])
     assert (tmp_path / "frame_000000.png").exists()
+
+
+def test_tty_input_escape_sequences(monkeypatch):
+    """TtyInput over a real pty: ordinary keys, arrows, ignored CSI
+    sequences (PgUp must not quit), and ESC-with-buffered-key (the quit
+    must fire AND the buffered key must not be swallowed)."""
+    import os as _os
+    import pty
+    import sys as _sys
+    import time
+
+    master, slave = pty.openpty()
+
+    class _Stdin:
+        def fileno(self):
+            return slave
+
+        def isatty(self):
+            return True
+
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    from voxelengine_tpu.runtime.input import TtyInput
+
+    t = TtyInput()
+    try:
+        _os.write(master, b"w")        # ordinary key
+        _os.write(master, b"\x1b[A")   # arrow up
+        _os.write(master, b"\x1b[5~")  # PgUp: CSI with params -> ignored
+        _os.write(master, b"\x1bf")    # ESC with a buffered key behind it
+        time.sleep(0.05)
+        evs = [e.key for e in t.poll()]
+    finally:
+        t.close()
+        _os.close(master)
+    assert evs == ["w", "up", "quit", "f"], evs

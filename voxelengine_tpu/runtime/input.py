@@ -56,26 +56,47 @@ class TtyInput(InputSource):
     # 'f'/'g' (apps/voxel_app.py:210-264)
     _KEYS = "wasdqebfg"
 
+    def _key_event(self, ch: str) -> Optional[KeyEvent]:
+        if len(ch) == 1 and ch.lower() in self._KEYS:
+            return KeyEvent(ch.lower())
+        if ch in ("X", "x"):
+            return KeyEvent("quit")
+        return None
+
     def poll(self) -> List[KeyEvent]:
         events: List[KeyEvent] = []
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = os.read(self._fd, 1).decode(errors="ignore")
-            if ch == "\x1b":  # escape sequence or ESC
-                if select.select([sys.stdin], [], [], 0)[0]:
-                    seq = os.read(self._fd, 2).decode(errors="ignore")
-                    if len(seq) == 2 and seq[0] == "[" and seq[1] in self._ARROWS:
-                        events.append(KeyEvent(self._ARROWS[seq[1]]))
-                        continue
-                    # some other escape sequence (PgUp, F-keys, ...): drain
-                    # its tail and ignore it — only a bare ESC quits
-                    while select.select([sys.stdin], [], [], 0)[0]:
-                        os.read(self._fd, 1)
+            if ch == "\x1b":  # ESC: bare, or the start of an escape sequence
+                if not select.select([sys.stdin], [], [], 0)[0]:
+                    events.append(KeyEvent("quit"))
                     continue
-                events.append(KeyEvent("quit"))
-            elif len(ch) == 1 and ch.lower() in self._KEYS:
-                events.append(KeyEvent(ch.lower()))
-            elif ch == "X" or ch == "x":
-                events.append(KeyEvent("quit"))
+                c1 = os.read(self._fd, 1).decode(errors="ignore")
+                if c1 != "[":
+                    # ESC followed by an ordinary key (e.g. buffered 'w'
+                    # autorepeat): the ESC still quits, and the key is NOT
+                    # swallowed as a sequence tail
+                    events.append(KeyEvent("quit"))
+                    ev = self._key_event(c1)
+                    if ev:
+                        events.append(ev)
+                    continue
+                # CSI sequence: read up to the final byte (0x40-0x7E);
+                # parameter/intermediate bytes (0x20-0x3F) may precede it
+                seq = ""
+                while select.select([sys.stdin], [], [], 0)[0]:
+                    c = os.read(self._fd, 1).decode(errors="ignore")
+                    seq += c
+                    if c and "\x40" <= c <= "\x7e":
+                        break
+                if seq in self._ARROWS:
+                    events.append(KeyEvent(self._ARROWS[seq]))
+                # any other CSI (PgUp 5~, F-keys, ...) is ignored — it
+                # neither quits nor eats unrelated buffered keys
+                continue
+            ev = self._key_event(ch)
+            if ev:
+                events.append(ev)
         return events
 
     def close(self):
