@@ -537,7 +537,15 @@ def _fetch_pass(cache, cslot, row, lane, S: int):
     v5e Mosaic — probe D8).  NOTE: guarding each slot's pass with
     ``pl.when(any lane wants it)`` was measured 2.3x SLOWER on v5e (the
     per-slot vector->scalar reductions + branches stall the VPU pipeline)
-    — keep this branch-free.
+    — keep this branch-free.  NOTE (round 3, measured NEUTRAL — don't
+    redo): hoisting the ax0 sublane take past the slot select (one take on
+    the selected [8,128] block instead of S per group — legal because the
+    sublane gather never moves data across lanes; verified bit-identical,
+    29/29 parity tests) measured 57.5 vs 56.9 ms on the 8k bench frame:
+    the S-1 saved sublane gathers are fully offset by widening the S
+    selects from [1,128] to [8,128] — Mosaic executes narrow [1,128] ops
+    at ~1/8 vreg cost, so the per-slot row-gather is NOT where the fetch
+    cost lives; the irreducible ax1 LANE gathers are.
     """
     R = cslot.shape[0]
     sub = jax.lax.broadcasted_iota(I32, (R, 128), 0)
