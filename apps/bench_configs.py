@@ -131,8 +131,17 @@ def config3():
     from voxelengine_tpu.render.frame import primary_rays, probe_use_macro
 
     po, pd, *_ = primary_rays(cfg, o, e0, jnp.int32(0))
+    # disk-memoized (same rationale as bench.py: the probe's diagnostic
+    # kernel is a full Mosaic compile per process, the decision a
+    # correctness-free scene hint)
+    from voxelengine_tpu.io.checkpoint import memo_json
+
     cfg = dataclasses.replace(
-        cfg, trace_use_macro=probe_use_macro(bm, lt, po, pd, cfg)
+        cfg, trace_use_macro=bool(memo_json(
+            ".world_cache",
+            "config3_512_o8_macroprobe_v1_1280x720_t2048_s16",
+            lambda: probe_use_macro(bm, lt, po, pd, cfg),
+        ))
     )
     fb = render_frame(bm, fb, o, e0, env, jnp.int32(0), cfg, None, lt)
     fb.block_until_ready()

@@ -11,6 +11,7 @@ apps use.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -130,6 +131,37 @@ def generate_or_load(
     bm = generate_fn()
     save_world(path, bm)
     return bm
+
+
+def memo_json(cache_dir: str, key: str, fn):
+    """Tiny JSON-value disk memo: return the cached value for ``key`` if
+    ``{cache_dir}/{key}.memo.json`` exists, else compute ``fn()``, persist
+    it, and return it.
+
+    Used for expensive-to-recompute *hints* whose staleness is harmless —
+    e.g. the probe-informed macro decision (``render.frame.probe_use_macro``),
+    whose diagnostic kernel costs a full Mosaic compile per process while
+    the decision itself is a scene-keyed boolean that cannot affect
+    correctness (traversal is bit-identical either way; the bench's
+    exactness gate re-checks every run regardless).  Callers must fold
+    every decision input into ``key``."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, key + ".memo.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)["value"]
+        except Exception as e:  # truncated/corrupt: recompute
+            print(f"memo {path} unreadable ({type(e).__name__}: {e}); "
+                  "recomputing", file=sys.stderr, flush=True)
+    value = fn()
+    if hasattr(value, "item"):  # np/jnp scalar -> python scalar
+        value = value.item()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "value": value}, f)
+    os.replace(tmp, path)
+    return value
 
 
 def _bm_meta(bm: BrickMap) -> dict:
