@@ -86,6 +86,13 @@ def main():
                          "host-side brick->line relayout)")
     ap.add_argument("--speed", type=float, default=None,
                     help="fly speed in voxels/keypress (default 2; bench worlds 16)")
+    ap.add_argument("--macro", choices=["on", "off", "auto"], default="on",
+                    help="L1-L3 macro-skip spans in the HBM kernel.  'auto' "
+                         "runs the probe-informed selection (disk-memoized; "
+                         "one-time diagnostic-kernel compile per scene).  "
+                         "Traversal is bit-identical either way; macro-off "
+                         "measures ~1.05-1.1x on terrain-bound scenes where "
+                         "skips never fire (bench.py does this by default)")
     ap.add_argument("--present-every", type=int, default=1,
                     help="read back + present every Nth frame (render loop "
                     "stays device-side between presents).  This tunneled "
@@ -181,6 +188,32 @@ def main():
     fly_speed = args.speed if args.speed is not None else (
         16.0 if bench_dims else 2.0
     )
+    if args.macro != "on" and rt is not None and rt.line_table is not None:
+        import dataclasses
+
+        if args.macro == "off":
+            cfg = dataclasses.replace(cfg, trace_use_macro=False)
+        else:  # auto: disk-memoized probe (bit-identical either way)
+            from voxelengine_tpu.io.checkpoint import memo_json
+            from voxelengine_tpu.render.frame import (
+                primary_rays,
+                probe_use_macro,
+            )
+
+            wk = key if bench_dims else (
+                f"terrain_{args.size[0]}x{args.size[1]}x{args.size[2]}"
+                f"_f{args.factor}_o{args.octaves}"
+            )
+            mk = (f"{wk}_appmacro_v1_{cfg.width}x{cfg.height}"
+                  f"_cam{'_'.join(str(float(v)) for v in cam_pos)}"
+                  f"_e{'_'.join(str(float(e)) for e in euler)}")
+            po, pd, *_ = primary_rays(
+                cfg, jnp.asarray(cam_pos), jnp.asarray(euler), jnp.int32(1)
+            )
+            use = bool(memo_json(".world_cache", mk, lambda: probe_use_macro(
+                rt.world, rt.line_table, po, pd, cfg)))
+            print(f"macro probe: use_macro={use}", file=sys.stderr)
+            cfg = dataclasses.replace(cfg, trace_use_macro=use)
     fb = make_framebuffer(cfg)
     timer = FrameTimer()
     interactive = sys.stdin.isatty()
