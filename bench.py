@@ -156,9 +156,10 @@ def main():
         bm = build_brickmap_terrain_compact(dims, 32)
     bm.meta.block_until_ready()
     log(f"world {dims} compact build/load: {time.perf_counter()-t0:.1f}s; "
-        f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB"
-        + (" on device)" if bricks_host is None
-           else f"; {bricks_host.nbytes/1e9:.2f} GB host-resident)"))
+        + (f"bricks {bm.bricks.shape} ({bm.bricks.nbytes/1e9:.2f} GB on device)"
+           if bricks_host is None
+           else f"bricks {bricks_host.shape} "
+                f"({bricks_host.nbytes/1e9:.2f} GB host-resident)"))
 
     cfg = RenderConfig(
         width=int(os.environ.get("BENCH_W", "1920")),

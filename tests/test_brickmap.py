@@ -213,3 +213,28 @@ def test_fractional_word_factor_roundtrip():
         coarse_layout=Layout.LINEAR,
     )
     assert (np.asarray(bms.to_dense()) == solid).all()
+
+
+def test_voxel_bit_out_of_range_is_false(small_world):
+    """voxel_bit mirrors BitGrid.get_bits's contract: out-of-range world
+    coordinates read False (regression: negative coords wrapped to the
+    LAST chunk via meta[-1] and past-the-face coords clamp-aliased real
+    chunks, both reporting phantom occupancy)."""
+    dense, _, bm = small_world
+    # in-range agreement over the whole boundary shell + a random sample
+    zz, yy, xx = np.nonzero(dense)
+    assert np.asarray(bm.voxel_bit(xx, yy, zz)).all()
+    # the world is 32^3: every face-adjacent out-of-range probe is False
+    probes = np.asarray(
+        [[-1, 0, 0], [0, -1, 0], [0, 0, -1],
+         [32, 0, 0], [0, 32, 0], [0, 0, 32],
+         [-1, -1, -1], [32, 32, 32], [31, -1, 31], [1000, 4, 4]],
+        np.int32,
+    )
+    got = np.asarray(bm.voxel_bit(probes[:, 0], probes[:, 1], probes[:, 2]))
+    assert not got.any()
+    # in-range empties stay False alongside the mask
+    empt = np.argwhere(~dense)[:16]  # [z, y, x]
+    assert not np.asarray(
+        bm.voxel_bit(empt[:, 2], empt[:, 1], empt[:, 0])
+    ).any()

@@ -89,6 +89,30 @@ def test_bigtrace_any_coarse_layout(rng, coarse):
     _assert_match(out, ref)
 
 
+@pytest.mark.parametrize(
+    "brick", [Layout.LINEAR, Layout.TILED_MORTON, Layout.TILED_LINEAR]
+)
+def test_bigtrace_any_brick_layout(rng, brick):
+    """C3 property, brick side: the kernel's in-brick bit addressing
+    reproduces the XLA traversal for every brick packing order — including
+    TILED_MORTON (VolumeRaytracer.cuh:41-106), which used to fall through
+    to the TILED_LINEAR formula silently."""
+    dense = rng.random((64, 64, 64)) < 0.02
+    dense[:, 0:3, :] = rng.random((64, 3, 64)) < 0.5
+    grid = BitGrid.from_dense(dense)
+    bm = build_brickmap(
+        grid, 8, coarse_layout=Layout.LINEAR, brick_layout=brick
+    )
+    assert bm.brick_layout is brick
+    lt = make_line_table(bm)
+    origins, rays = _rays(rng, 192, bm.world_dims)
+    ref = trace_brickmap(bm, origins, rays, 200)
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, 200, tile=128, num_slots=4, interpret=True
+    )
+    _assert_match(out, ref)
+
+
 def test_bigtrace_terrain_compact(rng):
     from voxelengine_tpu.core.brickmap import build_brickmap_terrain_compact
 
@@ -120,6 +144,57 @@ def test_bigtrace_budget_truncation(rng):
         bm, lt, origins, rays, 24, tile=128, num_slots=4, interpret=True
     )
     _assert_match(out, ref)
+
+
+def test_bigtrace_cap_truncation_is_flagged(rng):
+    """Adversarial DMA starvation must never produce a silent fake miss.
+
+    120 rays, each in its own region wanting a distinct region line, with
+    ``dma_per_round=1``: the min-want vote serves ~one line per outer
+    round, and the iteration cap (~84 rounds at ``max_steps=32``) binds
+    before every ray is served.  Rays still active when the cap exits
+    must report ``steps == max_steps`` (the budget-dead terminal the
+    staged rescue's survivor test catches), not a low-steps miss; served
+    rays must match the XLA reference exactly."""
+    nreg = 120
+    dense = np.zeros((nreg * 32, 32, 32), bool)  # (z, y, x) voxels
+    dense[0, 0, 0] = True  # one brick so the builder has a non-empty table
+    grid = BitGrid.from_dense(dense)
+    bm = build_brickmap(grid, 4, coarse_layout=Layout.LINEAR)
+    lt = make_line_table(bm)
+    assert lt.num_regions == nreg
+    max_steps = 32
+    # one ray per region, pointing +y from chunk-row 2: ~7 coarse events
+    # to exit the grid, all needing (only) that region's meta line
+    origins = np.stack(
+        [
+            np.full(nreg, 16.0, np.float32),
+            np.full(nreg, 9.0, np.float32),
+            np.arange(nreg, dtype=np.float32) * 32.0 + 16.0,
+        ],
+        axis=1,
+    )
+    rays = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (nreg, 1))
+    ref = trace_brickmap(bm, origins, rays, max_steps)
+    assert not np.asarray(ref.hit).any()
+    out = trace_brickmap_hbm(
+        bm, lt, origins, rays, max_steps,
+        tile=128, num_slots=4, dma_per_round=1, inner_steps=8,
+        use_macro=False, interpret=True,
+    )
+    hit_o = np.asarray(out.hit)
+    steps_o = np.asarray(out.steps)
+    steps_r = np.asarray(ref.steps)
+    assert not hit_o.any()
+    trunc = steps_o != steps_r
+    # the scenario genuinely starves (structurally: <=84 serviceable lines
+    # for 120 distinct wants) ...
+    assert trunc.any(), "starvation scenario no longer binds the cap"
+    # ... and every starved ray is flagged with the full budget
+    assert (steps_o[trunc] == max_steps).all(), (
+        "cap truncation produced a silent low-steps miss"
+    )
+    assert (steps_o[~trunc] == steps_r[~trunc]).all()
 
 
 def test_bigtrace_tiny_cache_thrash(rng):
@@ -611,7 +686,14 @@ def test_host_brick_lines_matches_device_view(rng, tmp_path):
     path = str(tmp_path / "w.npz")
     save_world(path, bm)
     bm2, bricks_host = load_world_host_bricks(path)
-    assert bm2.bricks.shape == (1, bm.words_per_brick)
+    # brick words stay on the host: no device placeholder to mistrace
+    assert bm2.bricks is None
+    assert bm2.words_per_brick == bm.words_per_brick
+    with pytest.raises(ValueError, match="host-resident"):
+        brick_lines_view(bm2)
+    with pytest.raises(ValueError, match="host-resident"):
+        trace_brickmap(bm2, np.zeros((4, 3), np.float32),
+                       np.ones((4, 3), np.float32), 8)
     np.testing.assert_array_equal(
         host_brick_lines(np.asarray(bricks_host)),
         np.asarray(brick_lines_view(bm)),

@@ -10,10 +10,13 @@ from voxelengine_tpu.ops.pallas_trace2 import trace_brickmap_mxu
 from voxelengine_tpu.ops.trace import trace_brickmap
 
 
-def _scene(rng, coarse_layout=Layout.TILED_LINEAR):
+def _scene(rng, coarse_layout=Layout.TILED_LINEAR, brick_layout=Layout.TILED_LINEAR):
     dense = rng.random((64, 64, 64)) < 0.008
     dense[:, :5, :] = rng.random((64, 5, 64)) < 0.5
-    return build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=coarse_layout)
+    return build_brickmap(
+        BitGrid.from_dense(dense), 8,
+        coarse_layout=coarse_layout, brick_layout=brick_layout,
+    )
 
 
 def _rays(rng, n=2048):
@@ -25,8 +28,9 @@ def _rays(rng, n=2048):
 
 
 def test_bm_mxu_matches_xla_trace(rng):
-    for lay in (Layout.TILED_LINEAR, Layout.LINEAR):
-        bm = _scene(rng, coarse_layout=lay)
+    # both addressing sides sweep every C3 order, incl. TILED_MORTON
+    for lay in (Layout.TILED_LINEAR, Layout.LINEAR, Layout.TILED_MORTON):
+        bm = _scene(rng, coarse_layout=lay, brick_layout=lay)
         o, d = _rays(rng)
         a = trace_brickmap(bm, o, d)
         b = trace_brickmap_mxu(bm, o, d, interpret=True)

@@ -116,3 +116,38 @@ def test_tty_input_escape_sequences(monkeypatch):
         t.close()
         _os.close(master)
     assert evs == ["w", "up", "quit", "f"], evs
+
+
+def test_tty_input_split_escape_sequence(monkeypatch):
+    """An arrow whose "[A" tail arrives a beat after the ESC byte (laggy
+    ssh/pty packetization) must parse as the arrow, not as a spurious
+    quit: the ESC path waits _ESC_GRACE_S for the tail."""
+    import os as _os
+    import pty
+    import sys as _sys
+    import threading
+    import time
+
+    master, slave = pty.openpty()
+
+    class _Stdin:
+        def fileno(self):
+            return slave
+
+        def isatty(self):
+            return True
+
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    from voxelengine_tpu.runtime.input import TtyInput
+
+    t = TtyInput()
+    try:
+        _os.write(master, b"\x1b")
+        lag = threading.Timer(0.01, _os.write, (master, b"[A"))
+        lag.start()
+        evs = [e.key for e in t.poll()]
+        lag.join()
+    finally:
+        t.close()
+        _os.close(master)
+    assert evs == ["up"], evs

@@ -134,8 +134,23 @@ class BrickMap:
         return sample_index(cx, cy, cz, gx, gy, self.coarse_layout)
 
     def voxel_bit(self, x, y, z):
-        """Occupancy of a single world voxel (vectorized)."""
+        """Occupancy of a single world voxel (vectorized).  Out-of-range
+        coordinates return False (mirrors ``BitGrid.get_bits``; without
+        the mask, negative / clamped indices alias real chunks)."""
+        if self.bricks is None:
+            raise ValueError(
+                "brick words are host-resident (load_world_host_bricks "
+                "placeholder); attach device bricks to query voxels"
+            )
         f = self.factor
+        X, Y, Z = self.world_dims
+        x, y, z = jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)
+        in_range = (
+            (x >= 0) & (x < X) & (y >= 0) & (y < Y) & (z >= 0) & (z < Z)
+        )
+        x = jnp.clip(x, 0, X - 1)
+        y = jnp.clip(y, 0, Y - 1)
+        z = jnp.clip(z, 0, Z - 1)
         cx, cy, cz = x // f, y // f, z // f
         lx, ly, lz = x % f, y % f, z % f
         ci = self.chunk_index(cx, cy, cz)
@@ -144,7 +159,7 @@ class BrickMap:
         bit = sample_index(lx, ly, lz, f, f, self.brick_layout)
         word = self.bricks[jnp.maximum(slot, 0), bit >> 5]
         val = ((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1
-        return val & occ & (slot >= 0)
+        return val & occ & (slot >= 0) & in_range
 
     def to_dense(self) -> jax.Array:
         """Unpack the whole world to bool [Z, Y, X] (small worlds/tests)."""
@@ -532,6 +547,7 @@ def build_brickmap(
     dense_slots: bool = True,
     dedupe_uniform: bool = False,
     coarse_layout: Layout = Layout.TILED_LINEAR,
+    brick_layout: Layout = Layout.TILED_LINEAR,
 ) -> BrickMap:
     """Build a brickmap from an in-memory dense :class:`BitGrid`.
 
@@ -549,7 +565,7 @@ def build_brickmap(
         grid.dims,
         factor,
         coarse_layout=coarse_layout,
-        brick_layout=Layout.TILED_LINEAR,
+        brick_layout=brick_layout,
         dense_slots=dense_slots,
         dedupe_uniform=dedupe_uniform,
     )

@@ -82,9 +82,12 @@ def load_world_host_bricks(path: str):
     """Load a world's small tables onto device but leave the multi-GB
     brick words on the HOST as a read-only memmap.
 
-    Returns ``(bm, bricks_host)`` where ``bm.bricks`` is a 1-brick
-    placeholder (``words_per_brick`` derives from ``factor``, so shape
-    queries stay valid) and ``bricks_host`` is ``uint32[N, wpb]``.  The
+    Returns ``(bm, bricks_host)`` where ``bm.bricks`` is ``None``
+    (``words_per_brick`` derives from ``factor``, so shape queries stay
+    valid; any path that needs device brick words — the XLA traversal,
+    edits, ``brick_lines_view`` — raises a clear error instead of
+    silently tracing a placeholder) and ``bricks_host`` is
+    ``uint32[N, wpb]``.  The
     16k-class flow: feed ``bricks_host`` to
     :func:`...ops.pallas_bigtrace.host_brick_lines` and upload the line
     form only — raw bricks and brick lines cannot both fit beside trace
@@ -99,7 +102,7 @@ def load_world_host_bricks(path: str):
     bm = BrickMap(
         meta=jnp.asarray(z["meta"]),
         brick_idx=jnp.asarray(z["brick_idx"]),
-        bricks=jnp.zeros((1, bricks.shape[1]), jnp.uint32),
+        bricks=None,  # host-resident: see docstring
         grid_dims=tuple(int(v) for v in z["grid_dims"]),
         factor=int(z["factor"]),
         coarse_layout=Layout(int(z["coarse_layout"])),

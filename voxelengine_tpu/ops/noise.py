@@ -448,8 +448,10 @@ def cubic_value(pos, scale, seed):
     return tricubic(ix, iy, iz, u, v, w)
 
 
-def _cell_points_min_dist(pos, scale, seed, max_num: int, min_num: int, jitter):
-    """Shared 3x3x3-neighborhood feature-point scan for worley/spots."""
+def _cell_decompose(pos, scale, seed):
+    """Shared cell decomposition for worley/spots: integer cell + in-cell
+    fractional coordinates + the seed as f32 (the feature-point scans
+    themselves live in the callers)."""
     pos = _f32(pos)
     seed = jnp.asarray(seed, jnp.int32).astype(jnp.float32)
     ix = f32_to_i32_sat(pos[..., 0] * _f32(scale))
@@ -465,7 +467,7 @@ def worley_noise(pos, scale, seed, size, min_num: int, max_num: int, jitter):
     """Worley cellular noise (``cuda_noise.cuh:390-431``)."""
     if size < EPSILON:
         return jnp.zeros(jnp.asarray(pos).shape[:-1], jnp.float32)
-    ix, iy, iz, u, v, w, fseed = _cell_points_min_dist(pos, scale, seed, max_num, min_num, jitter)
+    ix, iy, iz, u, v, w, fseed = _cell_decompose(pos, scale, seed)
     jitter = _f32(jitter)
     min_dist = jnp.full(u.shape, 1000000.0, jnp.float32)
     for x in (-1, 0, 1):
@@ -491,7 +493,7 @@ def spots(pos, scale, seed, size, min_num: int, max_num: int, jitter, shape: Sha
     """Random spots (``cuda_noise.cuh:332-388``)."""
     if size < EPSILON:
         return jnp.zeros(jnp.asarray(pos).shape[:-1], jnp.float32)
-    ix, iy, iz, u, v, w, fseed = _cell_points_min_dist(pos, scale, seed, max_num, min_num, jitter)
+    ix, iy, iz, u, v, w, fseed = _cell_decompose(pos, scale, seed)
     jitter = _f32(jitter)
     size = _f32(size)
     val = jnp.full(u.shape, -1.0, jnp.float32)

@@ -52,9 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from voxelengine_tpu.config import FLT_EPS_DDA, MAX_STEPS
 from voxelengine_tpu.core.brickmap import BrickMap
-from voxelengine_tpu.core.layout import Layout
+from voxelengine_tpu.core.layout import Layout, _morton3d_8
 from voxelengine_tpu.ops.aabb import ray_aabb
-from voxelengine_tpu.ops.trace import TraceOut, _edge_pad, _normalize
+from voxelengine_tpu.ops.trace import TraceOut, _axis_pick3, _edge_pad, _normalize
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -110,6 +110,12 @@ def brick_lines_view(bm: BrickMap) -> jax.Array:
     dispatch that traces through this view pays a full-table relayout
     copy.  Use :func:`materialize_brick_lines` to pay it once per world.
     """
+    if bm.bricks is None:
+        raise ValueError(
+            "bm.bricks is host-resident (load_world_host_bricks placeholder): "
+            "build the lines with host_brick_lines(...) and attach them via "
+            "LineTable.brick_lines instead of tracing through the view"
+        )
     bw = jax.lax.bitcast_convert_type(bm.bricks.reshape(-1), jnp.int32)
     padw = (-bw.shape[0]) % 1024
     if padw:
@@ -516,14 +522,6 @@ def trace_brickmap_hbm_staged(
     )
 
 
-def _axis_pick3(tx, ty, tz):
-    """Reference tie-breaking (VolumeRaytracer.cu:293-313)."""
-    ax = (tx < ty) & (tx < tz)
-    ay = (~ax) & (ty <= tx) & (ty < tz)
-    az = ~(ax | ay)
-    return ax, ay, az
-
-
 def _fetch_pass(cache, cslot, row, lane, S: int):
     """vals[i,j] = cache[cslot[i,j]*8 + row[i,j], lane[i,j]] (cslot<0 -> 0).
 
@@ -781,6 +779,11 @@ def _trace_inner(
     if brick_layout is Layout.LINEAR:
         def brick_bit(x, y, z):
             return x + y * f + z * (f * f)
+    elif brick_layout is Layout.TILED_MORTON:  # (f % 8 == 0)
+        tF = f // 8
+        def brick_bit(x, y, z):
+            tile = (x >> 3) + (y >> 3) * tF + (z >> 3) * (tF * tF)
+            return tile * 512 + _morton3d_8(x & 7, y & 7, z & 7)
     else:  # TILED_LINEAR (f % 8 == 0)
         tF = f // 8
         def brick_bit(x, y, z):
@@ -1455,11 +1458,17 @@ def _bigtrace_kernel(
     if diag:
         init = init + (zeroi,) * 9
 
-    # generous iteration cap: 2*max_steps events + stall slack.  Shortlist
-    # modes can in the worst case wait the full S-round rotation per event
-    # burst, so their cap scales with num_slots — the while_loop exits
-    # early on completion, so a large cap costs nothing at runtime
-    iter_limit = ((2 * max_steps + 64) // inner_steps + 64) * (
+    # iteration cap: the non-fused path's worst charged cycle is
+    # to_pend(+0) -> descend(+0) -> ascend(+1) = 3 iterations per budget
+    # step (the XLA loop has no pend phase, so ITS 2*max_steps bound is
+    # tight — ops/trace.py:413), hence 3*max_steps here, + stall slack.
+    # Shortlist modes can in the worst case wait the full S-round rotation
+    # per event burst, so their cap scales with num_slots — the while_loop
+    # exits early on completion, so a large cap costs nothing at runtime.
+    # If adversarial DMA starvation still exhausts the cap, the exit path
+    # below marks the survivors (steps=max_steps), never silently mislabels
+    # them as ordinary misses.
+    iter_limit = ((3 * max_steps + 64) // inner_steps + 64) * (
         (num_slots + 2) if shortlist else 1
     )
 
@@ -1478,7 +1487,12 @@ def _bigtrace_kernel(
     nx_ref[:] = nox
     ny_ref[:] = noy
     nz_ref[:] = noz
-    steps_ref[:] = steps
+    # cap-exit truncation is NON-SILENT: a ray still active when the
+    # iteration cap binds reports the full step budget (the "gave up"
+    # terminal XLA uses for budget-dead rays), so the staged rescue's
+    # survivor test catches it and exactness gates see a flagged ray, not
+    # a fake low-steps miss
+    steps_ref[:] = jnp.where(act != 0, jnp.int32(max_steps), steps)
     # lockstep/stall diagnostic: iterations this tile actually ran
     iters_ref[:] = jnp.full((R, 128), out[0] * inner_steps, I32)
     if diag:
@@ -1881,8 +1895,10 @@ def _rr_kernel(
          jnp.full((R, 128), -1, I32), zeroi)
     init = (jnp.int32(0), jnp.int32(0)) + env0 + state0
 
+    # 3*max_steps: the non-fused pend->descend->ascend cycle charges one
+    # step per three iterations (see trace_brickmap_hbm's cap comment)
     iter_limit = (
-        (n_rows + R) * (2 * max_steps + 64) // R // max(inner_steps, 1) + 64
+        (n_rows + R) * (3 * max_steps + 64) // R // max(inner_steps, 1) + 64
     ) * ((num_slots + 2) if shortlist else 1)
 
     def cond(c):
@@ -1890,6 +1906,9 @@ def _rr_kernel(
 
     out = jax.lax.while_loop(cond, outer_body, init)
     st = out[12:]
+    # cap-exit truncation is non-silent (see trace_brickmap_hbm): lanes
+    # still active when the cap binds report the full step budget
+    st = st[0:6] + (jnp.where(st[0] != 0, jnp.int32(max_steps), st[6]),) + st[7:]
 
     # final sweep: rows that finished on the last iteration
     for g in range(R):

@@ -37,7 +37,7 @@ from voxelengine_tpu.config import FLT_EPS_DDA, MAX_STEPS
 from voxelengine_tpu.core.bitgrid import BitGrid
 from voxelengine_tpu.core.layout import Layout
 from voxelengine_tpu.ops.aabb import ray_aabb
-from voxelengine_tpu.ops.trace import TraceOut, _edge_pad, _normalize
+from voxelengine_tpu.ops.trace import TraceOut, _axis_pick3, _edge_pad, _normalize
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -79,14 +79,6 @@ def _fetch_words(limbs, r_idx, c_idx, num_rows: int):
         # int32 are unaffected by the sign bit
         out = out | (v.astype(jnp.int32) << sh)
     return out
-
-
-def _axis_pick3(tx, ty, tz):
-    """Reference tie-breaking (VolumeRaytracer.cu:293-313) on components."""
-    ax = (tx < ty) & (tx < tz)
-    ay = (~ax) & (ty <= tx) & (ty < tz)
-    az = ~(ax | ay)
-    return ax, ay, az
 
 
 def _grid_kernel(

@@ -26,21 +26,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from voxelengine_tpu.config import FLT_EPS_DDA, MAX_STEPS
 from voxelengine_tpu.core.brickmap import BrickMap
-from voxelengine_tpu.core.layout import Layout
+from voxelengine_tpu.core.layout import Layout, _morton3d_8
 from voxelengine_tpu.ops.aabb import ray_aabb
 from voxelengine_tpu.ops.pallas_trace import words_to_limb_rows, _fetch_words
-from voxelengine_tpu.ops.trace import TraceOut, _edge_pad, _normalize
+from voxelengine_tpu.ops.trace import TraceOut, _axis_pick3, _edge_pad, _normalize
 
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = 3.4e38
-
-
-def _axis_pick3(tx, ty, tz):
-    ax = (tx < ty) & (tx < tz)
-    ay = (~ax) & (ty <= tx) & (ty < tz)
-    az = ~(ax | ay)
-    return ax, ay, az
 
 
 def _bm_kernel(
@@ -85,6 +78,11 @@ def _bm_kernel(
     if coarse_layout is Layout.LINEAR:
         def chunk_index(x, y, z):
             return x + y * GX + z * (GX * GY)
+    elif coarse_layout is Layout.TILED_MORTON:
+        tX, tY = GX // 8, GY // 8
+        def chunk_index(x, y, z):
+            tile = (x >> 3) + (y >> 3) * tX + (z >> 3) * (tX * tY)
+            return tile * 512 + _morton3d_8(x & 7, y & 7, z & 7)
     else:  # TILED_LINEAR
         tX, tY = GX // 8, GY // 8
         def chunk_index(x, y, z):
@@ -94,6 +92,11 @@ def _bm_kernel(
     if brick_layout is Layout.LINEAR:
         def brick_bit(x, y, z):
             return x + y * f + z * (f * f)
+    elif brick_layout is Layout.TILED_MORTON:  # (f % 8 == 0)
+        tF = f // 8
+        def brick_bit(x, y, z):
+            tile = (x >> 3) + (y >> 3) * tF + (z >> 3) * (tF * tF)
+            return tile * 512 + _morton3d_8(x & 7, y & 7, z & 7)
     else:  # TILED_LINEAR (f % 8 == 0)
         tF = f // 8
         def brick_bit(x, y, z):

@@ -64,14 +64,21 @@ def _normalize(v):
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
 
 
-def _axis_pick(tmax):
+def _axis_pick3(tx, ty, tz):
     """Advance-axis choice with the reference's exact tie-breaking
     (``VolumeRaytracer.cu:293-313``): x if strictly smallest, else y if
-    ``ty <= tx && ty < tz``, else z.  Returns one-hot bool [..., 3]."""
-    tx, ty, tz = tmax[..., 0], tmax[..., 1], tmax[..., 2]
+    ``ty <= tx && ty < tz``, else z.  Component form shared by every
+    traversal backend (the Pallas kernels import it) — the tie-break is
+    load-bearing for cross-path parity, so it is defined exactly once."""
     ax = (tx < ty) & (tx < tz)
     ay = (~ax) & (ty <= tx) & (ty < tz)
     az = ~(ax | ay)
+    return ax, ay, az
+
+
+def _axis_pick(tmax):
+    """:func:`_axis_pick3` over a stacked tensor; one-hot bool [..., 3]."""
+    ax, ay, az = _axis_pick3(tmax[..., 0], tmax[..., 1], tmax[..., 2])
     return jnp.stack([ax, ay, az], axis=-1)
 
 
@@ -231,7 +238,9 @@ def _run_loop(
     fdims = jnp.asarray([f, f, f], I32)
     wpb = bm.words_per_brick
     num_chunks = bm.num_chunks
-    bricks_flat = bm.bricks.reshape(-1)  # view, no copy
+    # view, no copy; None when brick words are host-resident (legal only
+    # with a fused table — the public entries guard the fused=None case)
+    bricks_flat = None if bm.bricks is None else bm.bricks.reshape(-1)
     st = st._replace(it=jnp.int32(0))
 
     def cond(st: _State):
@@ -409,6 +418,12 @@ def trace_brickmap(
     ``fused`` (optional): prebuilt :func:`make_fused_table` for
     single-gather iterations.
     """
+    if bm.bricks is None and fused is None:
+        raise ValueError(
+            "bm.bricks is host-resident (load_world_host_bricks placeholder); "
+            "the XLA traversal needs device brick words — reload via "
+            "load_world or attach real bricks with dataclasses.replace"
+        )
     st = _init_state(bm, origins, rays)
     st = _run_loop(bm, st, max_steps, 2 * max_steps + 8, fused)
     return _finalize(st, bm.factor)
@@ -448,6 +463,11 @@ def trace_brickmap_staged(
     :func:`trace_brickmap` at the same ``max_steps`` budget (the
     reference's only cap, ``VolumeRaytracer.cuh:235``).
     """
+    if bm.bricks is None and fused is None:
+        raise ValueError(
+            "bm.bricks is host-resident (load_world_host_bricks placeholder); "
+            "the XLA traversal needs device brick words"
+        )
     n = jnp.asarray(origins).shape[0]
     if schedule is None:
         schedule = (

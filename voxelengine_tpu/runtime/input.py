@@ -44,6 +44,13 @@ class TtyInput(InputSource):
     """Non-blocking raw-mode tty reader (WASD/QE + arrows, ESC quits)."""
 
     _ARROWS = {"A": "up", "B": "down", "C": "right", "D": "left"}
+    # ESC disambiguation grace: over a laggy ssh/pty the tail of an arrow
+    # sequence ("\x1b" then "[A") can land a packet later than the ESC
+    # byte.  A zero-timeout peek would misread that as a bare ESC and
+    # quit the app on a camera turn; 25 ms is imperceptible per frame and
+    # far above intra-sequence jitter.  Only the ESC path waits — the
+    # outer poll loop stays non-blocking.
+    _ESC_GRACE_S = 0.025
 
     def __init__(self):
         import termios, tty  # noqa: PLC0415
@@ -68,7 +75,7 @@ class TtyInput(InputSource):
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = os.read(self._fd, 1).decode(errors="ignore")
             if ch == "\x1b":  # ESC: bare, or the start of an escape sequence
-                if not select.select([sys.stdin], [], [], 0)[0]:
+                if not select.select([sys.stdin], [], [], self._ESC_GRACE_S)[0]:
                     events.append(KeyEvent("quit"))
                     continue
                 c1 = os.read(self._fd, 1).decode(errors="ignore")
@@ -84,7 +91,7 @@ class TtyInput(InputSource):
                 # CSI sequence: read up to the final byte (0x40-0x7E);
                 # parameter/intermediate bytes (0x20-0x3F) may precede it
                 seq = ""
-                while select.select([sys.stdin], [], [], 0)[0]:
+                while select.select([sys.stdin], [], [], self._ESC_GRACE_S)[0]:
                     c = os.read(self._fd, 1).decode(errors="ignore")
                     seq += c
                     if c and "\x40" <= c <= "\x7e":
