@@ -158,6 +158,68 @@ def test_zsharded_hbm_random_world_hits_exact(rng, mesh):
     assert eq > 0.2, f"steps equal on only {eq:.0%} of rays"
 
 
+def test_zsharded_hbm_slab_boundary_corner_graze(mesh):
+    """Exact lattice-corner crossing ON a slab boundary — the adversarial
+    case for the replicated walk's min-t combine.  A diagonal ray through
+    corner (32,32,32) grazes one voxel just below the boundary (owned by
+    slab 3) and enters one just above (slab 4).  The DDA's tie semantics
+    *tunnel* through the corner: the grazed below-boundary voxel is never
+    entered (measured identically on the XLA and Pallas backends), so the
+    per-slab walks cannot produce an exact-geometry float-equal tie and
+    the combine must reproduce the single-device hit bit-for-bit.  Pinned
+    for both ray directions (the combine's walk-order rank flips with the
+    z sign).  Also guards the masked-slab premise itself: the grazed-only
+    world misses, the entered-only world hits at the corner."""
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table, trace_brickmap_hbm
+    from voxelengine_tpu.parallel.distributed import (
+        make_zsharded_hbm,
+        trace_brickmap_hbm_zsharded,
+    )
+
+    def world(vox):
+        dense = np.zeros((64, 64, 64), bool)  # [z, y, x]
+        for (x, y, z) in vox:
+            dense[z, y, x] = True
+        return build_brickmap(
+            BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+        )
+
+    cases = [
+        # +diagonal: grazes (32,32,31) in slab 3, enters (32,32,32) in slab 4
+        ([23.5, 23.5, 23.5], [1.0, 1.0, 1.0], (32, 32, 31), (32, 32, 32)),
+        # -diagonal: grazes (31,31,32) in slab 4, enters (31,31,31) in slab 3
+        ([40.5, 40.5, 40.5], [-1.0, -1.0, -1.0], (31, 31, 32), (31, 31, 31)),
+    ]
+    for o, d, grazed, entered in cases:
+        o = jnp.asarray([o], jnp.float32)
+        d = jnp.asarray([d], jnp.float32)
+
+        # masked-slab premise: grazed-only misses, entered-only hits the corner
+        for vox, want_hit in [([grazed], False), ([entered], True)]:
+            bm1 = world(vox)
+            one = trace_brickmap_hbm(
+                bm1, make_line_table(bm1), o, d, 512, tile=256, num_slots=4
+            )
+            assert bool(np.asarray(one.hit)[0]) is want_hit
+            xla = trace_brickmap(bm1, o, d, 512)
+            assert np.array_equal(np.asarray(one.hit), np.asarray(xla.hit))
+        assert np.array_equal(np.asarray(one.position), [[32.0, 32.0, 32.0]])
+
+        # distributed combine == single-device kernel on the full world
+        bm = world([grazed, entered])
+        ref = trace_brickmap_hbm(
+            bm, make_line_table(bm), o, d, 512, tile=256, num_slots=4
+        )
+        zw = make_zsharded_hbm(bm, 8)
+        out = trace_brickmap_hbm_zsharded(
+            zw, o, d, mesh, 512, tile=256, num_slots=4
+        )
+        assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+        assert np.array_equal(np.asarray(ref.position), np.asarray(out.position))
+        assert np.array_equal(np.asarray(ref.normal), np.asarray(out.normal))
+        assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
+
+
 def test_zsharded_render_hbm_matches_single(rng, mesh):
     """render_frame_zsharded(zw=...) — the distributed-memory frame path
     through the flagship kernel — produces the same frame as the
