@@ -194,8 +194,18 @@ def test_zsharded_hbm_slab_boundary_corner_graze(mesh):
         o = jnp.asarray([o], jnp.float32)
         d = jnp.asarray([d], jnp.float32)
 
-        # masked-slab premise: grazed-only misses, entered-only hits the corner
+        # masked-slab premise: grazed-only misses, entered-only hits the
+        # corner — pinned on all three backends (kernel, XLA, scalar
+        # reference oracle)
+        from voxelengine_tpu.oracle.reference import (
+            make_brickmap_callbacks,
+            raytrace_brickmap,
+        )
+
         for vox, want_hit in [([grazed], False), ([entered], True)]:
+            dense = np.zeros((64, 64, 64), bool)
+            for (x, y, z) in vox:
+                dense[z, y, x] = True
             bm1 = world(vox)
             one = trace_brickmap_hbm(
                 bm1, make_line_table(bm1), o, d, 512, tile=256, num_slots=4
@@ -203,6 +213,16 @@ def test_zsharded_hbm_slab_boundary_corner_graze(mesh):
             assert bool(np.asarray(one.hit)[0]) is want_hit
             xla = trace_brickmap(bm1, o, d, 512)
             assert np.array_equal(np.asarray(one.hit), np.asarray(xla.hit))
+            co, dims, bo, cb = make_brickmap_callbacks(dense, 8)
+            orc = raytrace_brickmap(
+                co, dims, bo, cb, 8,
+                np.asarray(o[0], np.float32), np.asarray(d[0], np.float32), 512,
+            )
+            assert orc.hit is want_hit
+            if want_hit:
+                assert np.array_equal(
+                    np.asarray(one.position)[0], np.asarray(orc.position)
+                )
         assert np.array_equal(np.asarray(one.position), [[32.0, 32.0, 32.0]])
 
         # distributed combine == single-device kernel on the full world
