@@ -193,3 +193,67 @@ def test_brickmap_matches_grid_fractional_word_factors(rng):
             np.asarray(out.position)[hits], np.asarray(ref.position)[hits],
             atol=2e-3,
         ), f
+
+
+def test_exact_tie_semantics_pinned():
+    """Measure-zero DDA tie cases, pinned identically on all three
+    backends (scalar oracle, XLA state machine, HBM Pallas kernel).  The
+    random parity tests above never produce exact ties; these rays are
+    constructed to land on lattice planes/edges/corners bit-exactly:
+
+    - a ray whose origin lies ON an integer x-plane marching +z traverses
+      the UPPER column (floor semantics) and hits its voxel, never the
+      lower one;
+    - a two-axis (xz) edge crossing TUNNELS: both edge-adjacent voxels
+      are grazed but never entered (same semantics as the three-axis
+      corner, tests/test_distributed.py slab-boundary test);
+    - with the post-edge diagonal voxel solid, the edge crossing enters
+      it via the priority (x) axis.
+    """
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        make_line_table,
+        trace_brickmap_hbm,
+    )
+
+    cases = [
+        # (solid voxels [x,y,z], origin, direction,
+        #  want_hit, want_pos, want_normal)
+        ([(31, 10, 40), (32, 10, 40)], [32.0, 10.5, 20.5], [0.0, 0.0, 1.0],
+         True, [32.0, 10.5, 40.0], [0.0, 0.0, 1.0]),
+        ([(32, 10, 31), (31, 10, 32)], [23.5, 10.5, 23.5], [1.0, 0.0, 1.0],
+         False, None, None),
+        ([(32, 10, 31), (31, 10, 32), (32, 10, 32)],
+         [23.5, 10.5, 23.5], [1.0, 0.0, 1.0],
+         True, [32.0, 10.5, 32.0], [1.0, 0.0, 0.0]),
+    ]
+    for vox, o, d, want_hit, want_pos, want_nrm in cases:
+        dense = np.zeros((64, 64, 64), bool)  # [z, y, x]
+        for (x, y, z) in vox:
+            dense[z, y, x] = True
+        bm = build_brickmap(
+            BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+        )
+        oo = jnp.asarray([o], jnp.float32)
+        dd = jnp.asarray([d], jnp.float32)
+        k = trace_brickmap_hbm(
+            bm, make_line_table(bm), oo, dd, 512, tile=256, num_slots=4
+        )
+        x = trace_brickmap(bm, oo, dd, 512)
+        co, dims, bo, cb = R.make_brickmap_callbacks(dense, 8)
+        orc = R.raytrace_brickmap(
+            co, dims, bo, cb, 8,
+            np.asarray(o, F32), np.asarray(d, F32), 512,
+        )
+        assert bool(np.asarray(k.hit)[0]) is want_hit, vox
+        assert bool(np.asarray(x.hit)[0]) is want_hit, vox
+        assert orc.hit is want_hit, vox
+        if want_hit:
+            for got in (np.asarray(k.position)[0], np.asarray(x.position)[0],
+                        np.asarray(orc.position)):
+                assert np.array_equal(got, np.asarray(want_pos, F32)), vox
+            for got in (np.asarray(k.normal)[0], np.asarray(x.normal)[0],
+                        np.asarray(orc.normal)):
+                assert np.array_equal(got, np.asarray(want_nrm, F32)), vox
