@@ -136,10 +136,16 @@ def config3():
     # correctness-free scene hint)
     from voxelengine_tpu.io.checkpoint import memo_json
 
+    # key derived from cfg fields (not a literal) so editing this config
+    # invalidates the cached decision — the memo_json contract
+    mk = (f"config3_512_o8_macroprobe_v2_{cfg.width}x{cfg.height}"
+          f"_t{cfg.trace_tile}_s{cfg.trace_slots}"
+          f"_sl{cfg.trace_shortlist}_ms{cfg.max_steps}"
+          f"_cam{'_'.join(str(float(v)) for v in np.asarray(o))}"
+          f"_e{'_'.join(str(float(v)) for v in np.asarray(e0))}")
     cfg = dataclasses.replace(
         cfg, trace_use_macro=bool(memo_json(
-            ".world_cache",
-            "config3_512_o8_macroprobe_v1_1280x720_t2048_s16",
+            ".world_cache", mk,
             lambda: probe_use_macro(bm, lt, po, pd, cfg),
         ))
     )

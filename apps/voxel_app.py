@@ -188,6 +188,12 @@ def main():
     fly_speed = args.speed if args.speed is not None else (
         16.0 if bench_dims else 2.0
     )
+    if args.macro != "on" and (rt is None or rt.line_table is None):
+        # the macro knob only affects the HBM line-table Pallas kernel;
+        # --dense / --xla-trace never consult it — say so instead of
+        # silently rendering with the default
+        print(f"--macro {args.macro} ignored: no HBM line-table path active "
+              "(--dense / --xla-trace do not use macro spans)", file=sys.stderr)
     if args.macro != "on" and rt is not None and rt.line_table is not None:
         import dataclasses
 
@@ -204,7 +210,11 @@ def main():
                 f"terrain_{args.size[0]}x{args.size[1]}x{args.size[2]}"
                 f"_f{args.factor}_o{args.octaves}"
             )
-            mk = (f"{wk}_appmacro_v1_{cfg.width}x{cfg.height}"
+            # fold every probe input into the key (memo_json contract):
+            # kernel knobs change which diagnostic kernel the probe runs
+            mk = (f"{wk}_appmacro_v2_{cfg.width}x{cfg.height}"
+                  f"_t{cfg.trace_tile}_s{cfg.trace_slots}"
+                  f"_sl{cfg.trace_shortlist}_ms{cfg.max_steps}"
                   f"_cam{'_'.join(str(float(v)) for v in cam_pos)}"
                   f"_e{'_'.join(str(float(e)) for e in euler)}")
             po, pd, *_ = primary_rays(

@@ -330,6 +330,7 @@ def main():
     if prof_dir:  # capture an XLA/Pallas trace of the timed batch
         with jax.profiler.trace(prof_dir):
             frame_ms = batch(warm + 1, frames)
+        times = [frame_ms]
         log(f"profiler trace written to {prof_dir}")
     else:
         # best-of-N batches: the tunneled device's throughput windows swing
@@ -388,11 +389,16 @@ def main():
         sys.exit(4)
     metric = (f"primary_mrays_per_s_{cfg.height}p_checkerboard_"
               + {"small": "1k", "full": "8k", "huge": "16k"}[world] + "_world")
+    # n_batches + the per-batch spread make the min-of-N methodology
+    # auditable downstream: a reader can tell a min-of-3 from a
+    # single-batch number and see the device-window variance it absorbed
     print(json.dumps({
         "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 1000.0, 6),
+        "n_batches": len(times),
+        "batch_ms": [round(t, 1) for t in times],
     }))
 
 

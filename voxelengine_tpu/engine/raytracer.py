@@ -114,9 +114,9 @@ class VoxelRaytracer3D:
         O(world) fused XLA lookup table.  The big-world path: at 8k the
         fused table doubles resident memory for a traversal the flagship
         kernel never uses, and at 16k the brick words themselves stay
-        host-side (``load_world_host_bricks`` — ``bm.bricks`` may be a
-        placeholder; XLA-path queries and edits then require the real
-        brick words)."""
+        host-side (``load_world_host_bricks`` returns ``bm.bricks=None``;
+        XLA-path queries and edits then raise until real brick words are
+        attached — they never mistrace on a placeholder)."""
         self._bm = bm
         self._fused = None
         self._factor = bm.factor
