@@ -91,8 +91,15 @@ def dda_traversal(
     per_voxel_bounds=None,  # callable (ix,iy,iz) -> (bmin[3], bmax[3]) or None
     per_voxel_bounds_scale: int = 0,
     take_initial_step: bool = False,
+    record: Optional[list] = None,
 ) -> DDAResult:
-    """Single-level DDA with reference semantics (``VolumeRaytracer.cu:176-352``)."""
+    """Single-level DDA with reference semantics (``VolumeRaytracer.cu:176-352``).
+
+    ``record``: optional list; every boundary crossing appends
+    ``((ix, iy, iz), point)`` — the cell ENTERED and the float32 crossing
+    position — the role of the reference's ``RECORD_INTERSECTED_POINTS``
+    build (``DDATestCpp.cpp:15-25,129-131``).
+    """
     start = np.asarray(start, F32)
     direction = np.asarray(direction, F32)
     x, y, z = start
@@ -203,6 +210,9 @@ def dda_traversal(
                     res.out_of_bounds = True
                     break
             res.steps += 1
+            if record is not None:
+                record.append(((int(cell[0]), int(cell[1]), int(cell[2])),
+                               isect.copy()))
             res.hit_point = isect
         else:
             res.next_cell = cell.astype(F32)
@@ -217,6 +227,11 @@ class TraceResult:
     position: Optional[np.ndarray] = None
     normal: Optional[np.ndarray] = None
     steps: int = 0
+    # True when the repeat-cell infinite-loop guard (VolumeRaytracer.cu:402-407)
+    # terminated the trace: the one reference quirk the production traversal
+    # deliberately does NOT reproduce (ops/trace.py resumes the coarse DDA
+    # instead).  Parity harnesses use this to attribute mismatches.
+    guard_tripped: bool = False
 
 
 def raytrace_brickmap(
@@ -228,9 +243,17 @@ def raytrace_brickmap(
     origin,
     ray,
     max_steps: int = MAX_STEPS,
+    record: Optional[list] = None,
 ) -> TraceResult:
     """Two-level hierarchical trace with reference semantics
-    (``VolumeRaytracer.cu:354-525``)."""
+    (``VolumeRaytracer.cu:354-525``).
+
+    ``record``: optional list; every boundary crossing appends
+    ``("coarse", cell, point)`` (chunk units) or
+    ``("fine", cell, point, chunk)`` (cell/point chunk-local in voxel
+    units, plus the chunk being walked — the spaces the crossing-trace
+    kernel dump uses).
+    """
     out = TraceResult()
     f = F32(factor)
     previous_cell = np.array([-1, -1, -1], F32)
@@ -262,6 +285,7 @@ def raytrace_brickmap(
     hit = False
 
     while total_steps < max_steps:
+        rec_c = [] if record is not None else None
         res = dda_traversal(
             coarse_occupancy,
             coarse_dims,
@@ -270,18 +294,23 @@ def raytrace_brickmap(
             max_steps=MAX_STEPS,
             per_voxel_bounds=chunk_bounds,
             per_voxel_bounds_scale=factor,
+            record=rec_c,
         )
+        if record is not None:
+            record.extend(("coarse", c, p) for c, p in rec_c)
         total_steps += res.steps
         start_high_res = res.hit_point * f
         hit_position = start_high_res.copy()
         if res.hit and not res.out_of_bounds:
             if np.array_equal(previous_cell, res.hit_cell):
+                out.guard_tripped = True
                 break  # repeat-cell guard (VolumeRaytracer.cu:402-407)
             previous_cell = res.hit_cell.copy()
             cellf = res.hit_cell * f
             local = start_high_res - cellf
             cx, cy, cz = int(res.hit_cell[0]), int(res.hit_cell[1]), int(res.hit_cell[2])
 
+            rec_f = [] if record is not None else None
             res_hr = dda_traversal(
                 lambda lx, ly, lz: brick_occupancy(cx, cy, cz, lx, ly, lz),
                 (factor, factor, factor),
@@ -289,7 +318,10 @@ def raytrace_brickmap(
                 direction,
                 max_steps=MAX_STEPS,
                 bounds=(np.zeros(3, F32), np.array([f, f, f], F32)),
+                record=rec_f,
             )
+            if record is not None:
+                record.extend(("fine", c, p, (cx, cy, cz)) for c, p in rec_f)
             total_steps += res_hr.steps
             hit_position = res_hr.hit_point + cellf
 
