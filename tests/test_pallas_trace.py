@@ -6,7 +6,12 @@ import numpy as np
 
 from voxelengine_tpu.core.bitgrid import BitGrid
 from voxelengine_tpu.core.layout import Layout
-from voxelengine_tpu.ops.pallas_trace import trace_grid_mxu, words_to_limb_rows
+from voxelengine_tpu.ops.pallas_trace import (
+    trace_grid_mxu,
+    trace_grid_vpu,
+    words_to_limb_rows,
+    words_to_rows_i32,
+)
 from voxelengine_tpu.ops.trace import trace_grid
 
 
@@ -60,6 +65,39 @@ def test_mxu_kernel_tile_padding(rng):
         g, jnp.asarray(origins), jnp.asarray(rays), tile=512, interpret=True
     )
     assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+
+
+def test_rows_i32_roundtrip(rng):
+    w = rng.integers(0, 2**32, 300, dtype=np.uint32)
+    t = np.asarray(words_to_rows_i32(jnp.asarray(w)))
+    assert t.shape == (8, 128)  # padded to a [8,128] vreg block
+    assert np.array_equal(t.reshape(-1)[:300].astype(np.uint32), w)
+
+
+def test_vpu_kernel_matches_trace_grid(rng):
+    """The pair-gather fetch variant is event-exact vs the XLA traversal
+    (same `_axis_pick3` tie-break, edge padding, budget)."""
+    dense = rng.random((32, 32, 32)) < 0.015
+    dense[:, :4, :] = rng.random((32, 4, 32)) < 0.6
+    n = 640
+    origins = (rng.random((n, 3)) * 60 - 15).astype(np.float32)
+    targets = (rng.random((n, 3)) * 32).astype(np.float32)
+    rays = targets - origins
+    rays = (rays / np.linalg.norm(rays, axis=1, keepdims=True)).astype(np.float32)
+    for lay in (Layout.TILED_LINEAR, Layout.LINEAR):
+        g = BitGrid.from_dense(dense, layout=lay)
+        a = trace_grid(g, jnp.asarray(origins), jnp.asarray(rays), 256)
+        b = trace_grid_vpu(
+            g, jnp.asarray(origins), jnp.asarray(rays), 256,
+            tile=1024, interpret=True,
+        )
+        assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        assert np.array_equal(np.asarray(a.steps), np.asarray(b.steps))
+        hits = np.asarray(a.hit)
+        assert np.allclose(
+            np.asarray(a.position)[hits], np.asarray(b.position)[hits], atol=1e-4
+        )
+        assert np.array_equal(np.asarray(a.normal)[hits], np.asarray(b.normal)[hits])
 
 
 def test_render_frame_dense_matches_brickmap(rng):
