@@ -199,18 +199,20 @@ def model():
           f"(from {today_ms} ms measured)")
 
     # ---- constants (each chosen in the two-phase design's FAVOR) ----
-    # phase-A per-iteration: the measured prototype ran pa_ms over its own
-    # tile structure; per-iteration = pa_ms / (sum of per-tile maxima)
+    # phase-A per-iteration: the measured prototype ran trace_grid_vpu at
+    # its auto tile (8192 rays/iteration); per-iteration = pa_ms / (sum of
+    # per-8192-tile maxima), then normalized to the model's 2048-lane
+    # tiles (cost scales with rays/iteration: the fetch+body is per-group)
     pa_steps = z["pa_steps"].astype(np.int64)
-    pt = pa_steps[: n // 1024 * 1024].reshape(-1, 1024)
+    pt = pa_steps[: n // 8192 * 8192].reshape(-1, 8192)
     pa_iters = int(pt.max(axis=1).sum())
-    c_a_us = pa_ms * 1000.0 / max(pa_iters, 1)
+    c_a_us = pa_ms * 1000.0 / max(pa_iters, 1) * (tile / 8192)
     # phase-B per-iteration: the shortlist build measured 0.82-0.87 us with
     # the fetch machinery reduced; grant the B kernel the BEST measured
     # per-iteration body on this hardware
     c_b_us = 0.82
-    print(f"phase-A prototype: {pa_ms:.1f} ms / {pa_iters} iters "
-          f"-> c_A = {c_a_us:.3f} us/iter;  c_B = {c_b_us} us (granted)")
+    print(f"phase-A prototype: {pa_ms:.1f} ms / {pa_iters} iters@8192 "
+          f"-> c_A = {c_a_us:.3f} us/iter@2048;  c_B = {c_b_us} us (granted)")
 
     # ---- per-round model ----
     # round k (1-based) serves rays with desc >= k; a ray's k-th coarse
@@ -235,6 +237,11 @@ def model():
         total_ms += round_ms
         if k <= 6 or nlive > 1000:
             per_round.append((k, nlive, round_ms))
+    # the free-plumbing ideal: perfect packing, zero compact/sort/dispatch
+    ideal_ms = (float(cadv.sum()) / tile * c_a_us
+                + float(fstep.sum()) / tile * c_b_us) / 1000.0
+    print(f"free-plumbing ideal (perfect packing, zero per-round cost): "
+          f"{ideal_ms:.1f} ms -> {today_ms/ideal_ms:.2f}x")
     # rays that never descend still need one phase-A pass (shared round 1)
     print(f"rounds: {max_rounds}; per-round (k, live, ms):")
     for r in per_round[:12]:
