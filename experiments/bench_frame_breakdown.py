@@ -57,9 +57,12 @@ from voxelengine_tpu.render.frame import (  # noqa: E402
 WORLDS = {"small": (1024, 1024, 1024), "full": (8192, 512, 8192)}
 
 
-def timed_loop(fn, frames, batches, warm=3):
+def timed_loop(fn, frames, batches, warm=3, label=""):
     """bench.py batch methodology: chained distinct dispatches + checksum."""
+    t0 = time.perf_counter()
     fn(0)  # compile
+    print(f"  [{label}] compile+first: {time.perf_counter()-t0:.1f}s",
+          flush=True)
     for i in range(1, warm + 1):  # untimed warmup batch
         acc = fn(i)
     float(acc)
@@ -108,9 +111,12 @@ def main():
         o, d, px, py, pyr = primary_rays(cfg, origin, euler, frame)
         return jnp.sum(d) + jnp.sum(px)
 
-    # S1: raygen + trace (checksum steps)
+    # S1: raygen + trace (checksum steps).  bm/lt are ARGUMENTS, not
+    # closures: a closed-over device array is embedded as an HLO constant
+    # and the tunnel's remote-compile endpoint rejects the 1.9 GB body
+    # (HTTP 413).
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def raytrace(euler, frame, cfg):
+    def raytrace(bm, lt, euler, frame, cfg):
         o, d, px, py, pyr = primary_rays(cfg, origin, euler, frame)
         out = trace_brickmap_hbm(
             bm, lt, o, d, cfg.max_steps, tile=cfg.trace_tile,
@@ -122,7 +128,7 @@ def main():
         return raygen(euler0 + jnp.float32(1e-5) * i, jnp.int32(i), cfg)
 
     def s1(i):
-        return raytrace(euler0 + jnp.float32(1e-5) * i, jnp.int32(i), cfg)
+        return raytrace(bm, lt, euler0 + jnp.float32(1e-5) * i, jnp.int32(i), cfg)
 
     fb_holder = [make_framebuffer(cfg)]
 
@@ -133,11 +139,11 @@ def main():
         )
         return jnp.sum(fb_holder[0])
 
-    ms0, t0s = timed_loop(s0, frames, batches)
+    ms0, t0s = timed_loop(s0, frames, batches, label="S0")
     print(f"S0 raygen-only:   {ms0:6.2f} ms  (batches {['%.1f' % t for t in t0s]})", flush=True)
-    ms1, t1s = timed_loop(s1, frames, batches)
+    ms1, t1s = timed_loop(s1, frames, batches, label="S1")
     print(f"S1 raygen+trace:  {ms1:6.2f} ms  (batches {['%.1f' % t for t in t1s]})", flush=True)
-    ms2, t2s = timed_loop(s2, frames, batches)
+    ms2, t2s = timed_loop(s2, frames, batches, label="S2")
     print(f"S2 full frame:    {ms2:6.2f} ms  (batches {['%.1f' % t for t in t2s]})", flush=True)
     print(f"breakdown @ {n_rays} rays:", flush=True)
     print(f"  dispatch+raygen    {ms0:6.2f} ms", flush=True)
