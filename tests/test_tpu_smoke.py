@@ -52,6 +52,21 @@ def test_trace_grid_mxu_compiled(rng):
     assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
 
 
+def test_trace_grid_vpu_compiled(rng):
+    """The pair-gather dense kernel (round-4 default dense path) compiles
+    on real Mosaic and matches the XLA traversal."""
+    from voxelengine_tpu.ops.pallas_trace import trace_grid_vpu
+    from voxelengine_tpu.ops.trace import trace_grid
+
+    dense = _scene(rng)
+    grid = BitGrid.from_dense(dense)
+    o, d = _rays(rng, 1500, 64)
+    ref = trace_grid(grid, o, d, 256)
+    out = trace_grid_vpu(grid, o, d, 256, interpret=False)
+    assert (np.asarray(ref.hit) == np.asarray(out.hit)).all()
+    assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
+
+
 def test_trace_brickmap_mxu_compiled(rng):
     from voxelengine_tpu.ops.pallas_trace2 import trace_brickmap_mxu
     from voxelengine_tpu.ops.trace import trace_brickmap
