@@ -146,3 +146,88 @@ def test_sharded_rays_through_flagship_kernel(small_world, ray_batch, mesh):
     assert np.array_equal(np.asarray(out.position)[m], np.asarray(ref.position)[m])
     assert np.array_equal(np.asarray(out.steps), np.asarray(ref.steps))
     assert float(mean_steps) > 0
+
+
+def test_cyclic_render_matches_single(small_world, mesh):
+    """Block-cyclic sharding (block j -> device j % N): the reassembled
+    framebuffer equals the single-device render on both checkerboard
+    parities (per-block halo rows cover every even-frame +2 crossing,
+    including block-top rows whose predecessor block lives on ANOTHER
+    device — the case contiguous row sharding never hits)."""
+    from voxelengine_tpu.parallel.sharded import (
+        cyclic_to_image,
+        make_framebuffer_cyclic,
+        render_frame_cyclic,
+    )
+
+    _, _, bm = small_world
+    env = Environment.default()
+    # 256x128 checkerboard -> 32x32 blocks, 8x2 grid = 16 blocks over 8 devs
+    cfg = RenderConfig(width=256, height=128, checkerboard=True)
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+
+    bmr = replicate_world(mesh, bm)
+    fb = make_framebuffer_cyclic(cfg, mesh)
+    ref = make_framebuffer(cfg)
+    for i in range(2):
+        fb = render_frame_cyclic(bmr, fb, origin, euler, env, jnp.int32(i), cfg, mesh)
+        ref = render_frame(bm, ref, origin, euler, env, jnp.int32(i), cfg)
+        assert np.array_equal(cyclic_to_image(fb, cfg), np.asarray(ref)), f"frame {i}"
+    assert len(fb.addressable_shards) == 8
+
+
+def test_cyclic_render_plain_writes(small_world, mesh):
+    """Non-checkerboard cyclic render: straight masked writes, no halo."""
+    from voxelengine_tpu.parallel.sharded import (
+        cyclic_to_image,
+        make_framebuffer_cyclic,
+        render_frame_cyclic,
+    )
+
+    _, _, bm = small_world
+    env = Environment.default()
+    cfg = RenderConfig(width=256, height=64, checkerboard=False)
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+    bmr = replicate_world(mesh, bm)
+    fb = make_framebuffer_cyclic(cfg, mesh)
+    fb = render_frame_cyclic(bmr, fb, origin, euler, env, jnp.int32(0), cfg, mesh)
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                       jnp.int32(0), cfg)
+    assert np.array_equal(cyclic_to_image(fb, cfg), np.asarray(ref))
+
+
+def test_cyclic_render_hbm_kernel_matches_single(small_world):
+    """Block-cyclic sharding through the flagship HBM line-table kernel
+    (interpret mode on CPU), 4-device mesh."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.core.layout import Layout
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+    from voxelengine_tpu.parallel.sharded import (
+        cyclic_to_image,
+        make_framebuffer_cyclic,
+        render_frame_cyclic,
+    )
+
+    mesh4 = make_mesh(jax.devices()[:4])
+    dense, _, _ = small_world
+    bm = build_brickmap(BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR)
+    lt = make_line_table(bm)
+    env = Environment.default()
+    # 128x64 checkerboard -> 32x32 blocks, 4x1 grid = 4 blocks over 4 devs
+    cfg = RenderConfig(width=128, height=64, checkerboard=True,
+                       trace_tile=128, trace_slots=4)
+    origin = jnp.asarray([16.0, 20.0, 16.0])
+    euler = jnp.asarray([0.9, 0.3, 0.0])
+    bmr = replicate_world(mesh4, bm)
+    ltr = jax.device_put(lt, NamedSharding(mesh4, P()))
+    fb = make_framebuffer_cyclic(cfg, mesh4)
+    ref = make_framebuffer(cfg)
+    for i in range(2):
+        fb = render_frame_cyclic(bmr, fb, origin, euler, env, jnp.int32(i),
+                                 cfg, mesh4, ltr)
+        ref = render_frame(bm, ref, origin, euler, env, jnp.int32(i), cfg,
+                           None, lt)
+        assert np.array_equal(cyclic_to_image(fb, cfg), np.asarray(ref)), f"frame {i}"

@@ -463,10 +463,13 @@ def trace_grid_vpu(
         # measured tile sweep (1M rays, 64^3, v5e): 1024 -> 13.9 Mrays/s,
         # 2048 -> 25.0, 4096 -> 30.8, 8192 -> 35.3, 16384 -> 37.9,
         # 32768 -> 39.4 (identical checksums): per-tile fixed overhead
-        # dominates below ~8k rays/tile and the basin flattens above.
+        # dominates below ~8k rays/tile and the basin keeps rising to 32k
+        # (per-ray state at 32k is ~2 MB VMEM — nowhere near the budget;
+        # the lockstep cost of a wider max is measured smaller than the
+        # per-tile overhead it removes on short dense-grid walks).
         # Small batches keep the tile at the batch size (padding waste).
         n0 = jnp.shape(jnp.asarray(origins))[0]
-        tile = min(8192, max(1024, -(-n0 // 1024) * 1024))
+        tile = min(32768, max(1024, -(-n0 // 1024) * 1024))
     assert tile % 1024 == 0, (
         "tile must be a multiple of 1024: ray blocks are [tile/128, 128] "
         "and Mosaic requires the sublane dim divisible by 8"
