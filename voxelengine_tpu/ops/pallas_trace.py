@@ -14,7 +14,7 @@ fetch engines, identical results:
   idiom proven in :mod:`voxelengine_tpu.ops.pallas_bigtrace`).  Honest
   on-device sustained at 1M rays / 64^3 (chained + jittered +
   checksummed): **35-39 Mrays/s** at the measured tile basin (8k-32k
-  rays/tile; the auto default picks 8192).
+  rays/tile; the auto default picks 32768 for batches that large).
 * :func:`trace_grid_mxu` — each step fetches every ray's 128-word *row*
   with an exact one-hot bf16 matmul (four 8-bit limbs; a one-hot row has
   a single 1, so all products/sums are exact in bf16), then selects the
