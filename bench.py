@@ -27,6 +27,13 @@ Env knobs:
   BENCH_W/BENCH_H      render resolution (default 1920x1080; the
                        reference's own demo config is BENCH_WORLD=small
                        BENCH_W=1280 BENCH_H=720 — main.cu:15-23)
+  BENCH_SHADOWS=1      enable shadow rays (working version of the
+                       reference's disabled scaffolding, Renderer.cu:102)
+  BENCH_AO=N           N hemisphere AO samples/pixel (Renderer.cu:120-165,
+                       reference ships with samples=0); both shading knobs
+                       route their secondary rays through the flagship
+                       kernel and change the metric name so the row is
+                       never confused with the primary-ray headline
   BENCH_ALLOW_CPU=1    skip the TPU-backend guard (local sanity runs)
   BENCH_TPU_TIMEOUT=s  backend-probe timeout before a re-exec retry (300)
   BENCH_PROFILE=dir    capture a jax.profiler trace of the timed batch
@@ -171,6 +178,8 @@ def main():
         trace_shortlist=int(os.environ.get("BENCH_SL", "0")),
         trace_stage_steps=int(os.environ.get("BENCH_STAGE", "0")),
         trace_tail_frac=int(os.environ.get("BENCH_TAILFRAC", "8")),
+        shadow_rays=os.environ.get("BENCH_SHADOWS", "0") == "1",
+        ao_samples=int(os.environ.get("BENCH_AO", "0")),
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley (host tuples kept
@@ -387,8 +396,14 @@ def main():
         # scraper never sees a number for an invalid run
         log(f"FATAL: hit diffs above 0.01% tolerance ({diffs}/{steps.size})")
         sys.exit(4)
+    shading = ""
+    if cfg.shadow_rays:
+        shading += "_shadows"
+    if cfg.ao_samples:
+        shading += f"_ao{cfg.ao_samples}"
     metric = (f"primary_mrays_per_s_{cfg.height}p_checkerboard_"
-              + {"small": "1k", "full": "8k", "huge": "16k"}[world] + "_world")
+              + {"small": "1k", "full": "8k", "huge": "16k"}[world]
+              + "_world" + shading)
     # n_batches + the per-batch spread make the min-of-N methodology
     # auditable downstream: a reader can tell a min-of-3 from a
     # single-batch number and see the device-window variance it absorbed
