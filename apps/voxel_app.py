@@ -93,6 +93,15 @@ def main():
                          "Traversal is bit-identical either way; macro-off "
                          "measures ~1.05-1.1x on terrain-bound scenes where "
                          "skips never fire (bench.py does this by default)")
+    ap.add_argument("--shadows", action="store_true",
+                    help="shadow rays toward the light (working version of "
+                         "the reference's disabled scaffolding, "
+                         "Renderer.cu:102); secondary rays ride the same "
+                         "traversal path as the primaries")
+    ap.add_argument("--ao", type=int, default=0, metavar="N",
+                    help="N hemisphere AO samples/pixel (Renderer.cu:120-165,"
+                         " reference ships samples=0); measured 8k @1080p "
+                         "with --shadows --ao 4: 184.6 ms/frame")
     ap.add_argument("--present-every", type=int, default=1,
                     help="read back + present every Nth frame (render loop "
                     "stays device-side between presents).  This tunneled "
@@ -169,7 +178,14 @@ def main():
         projection=Projection.ORTHOGRAPHIC if args.ortho else Projection.PERSPECTIVE,
         tile_order=not args.xla_trace and not args.dense,
         trace_tile=2048, trace_slots=16,  # round-3 measured flagship config
+        shadow_rays=args.shadows and not args.dense,
+        ao_samples=0 if args.dense else args.ao,
     )
+    if args.dense and (args.shadows or args.ao):
+        # shade_traced skips secondaries without a brickmap — say so
+        # instead of silently rendering unshadowed
+        print("--shadows/--ao ignored: the dense-grid path has no secondary"
+              " trace (use the brickmap path)", file=sys.stderr)
     env = Environment.default()  # main.cu:58-63
 
     renderer = Renderer("voxelengine_tpu")
@@ -323,7 +339,11 @@ def main():
 
             fb = render_frame_dense(
                 grid, fb, jnp.asarray(cam_pos), jnp.asarray(euler), env,
-                jnp.int32(frame), cfg, ortho_size=osz,
+                jnp.int32(frame), cfg,
+                # Mosaic doesn't compile on the CPU backend; interpret mode
+                # keeps VOX_CPU=1 logic runs working on the dense path too
+                interpret=jax.default_backend() == "cpu",
+                ortho_size=osz,
             )
         else:
             fb = render_frame(
