@@ -6,6 +6,11 @@ Composites BOTH checkerboard fields (frames 0 and 1) into a complete
 1080p image — what the reference's interlaced presentation shows after
 two frames (`Renderer.cu:186-194`).  Huge (16k) worlds route through the
 host-side brick→line relayout (raw bricks never touch HBM).
+
+Env knobs (mirroring bench.py): DEMO_SHADOWS=1 adds shadow rays,
+DEMO_AO=N adds N hemisphere AO samples — the working version of the
+reference's disabled scaffolding (`Renderer.cu:102,120-165`); the default
+output name gains a `_shadows_aoN` suffix.
 """
 
 import os
@@ -34,7 +39,12 @@ from voxelengine_tpu.render.frame import make_framebuffer, render_frame
 def main():
     world = sys.argv[1] if len(sys.argv) > 1 else "full"
     dims = {"full": (8192, 512, 8192), "huge": (16384, 512, 16384)}[world]
-    out = sys.argv[2] if len(sys.argv) > 2 else f"docs/demo_{'16k' if world == 'huge' else '8k'}_terrain_1080p.png"
+    shadows = os.environ.get("DEMO_SHADOWS", "0") == "1"
+    ao = int(os.environ.get("DEMO_AO", "0"))
+    suffix = ("_shadows" if shadows else "") + (f"_ao{ao}" if ao else "")
+    out = sys.argv[2] if len(sys.argv) > 2 else (
+        f"docs/demo_{'16k' if world == 'huge' else '8k'}_terrain_1080p"
+        f"{suffix}.png")
     print(f"devices: {jax.devices()}", flush=True)
 
     key = f"terrain_{dims[0]}x{dims[1]}x{dims[2]}_f32_o32_v1"
@@ -63,7 +73,11 @@ def main():
     print(f"world+lines: {time.perf_counter()-t0:.1f}s", flush=True)
 
     cfg = RenderConfig(width=1920, height=1080, checkerboard=True,
-                       tile_order=True, trace_tile=2048, trace_slots=16)
+                       tile_order=True, trace_tile=2048, trace_slots=16,
+                       shadow_rays=shadows, ao_samples=ao,
+                       # match bench.py's probe decision on this scene so
+                       # the persistent compile cache is shared with it
+                       trace_use_macro=not (shadows or ao))
     env = Environment.default()
     origin = jnp.asarray([dims[0] / 2, 380.0, dims[2] / 2], jnp.float32)
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
