@@ -102,6 +102,10 @@ def main():
                     help="N hemisphere AO samples/pixel (Renderer.cu:120-165,"
                          " reference ships samples=0); measured 8k @1080p "
                          "with --shadows --ao 4: 184.6 ms/frame")
+    ap.add_argument("--reflections", action="store_true",
+                    help="one-bounce mirror reflections (extension beyond "
+                         "the reference; reflected rays ride the same "
+                         "traversal as the primaries)")
     ap.add_argument("--present-every", type=int, default=1,
                     help="read back + present every Nth frame (render loop "
                     "stays device-side between presents).  This tunneled "
@@ -180,12 +184,13 @@ def main():
         trace_tile=2048, trace_slots=16,  # round-3 measured flagship config
         shadow_rays=args.shadows and not args.dense,
         ao_samples=0 if args.dense else args.ao,
+        reflections=args.reflections and not args.dense,
     )
-    if args.dense and (args.shadows or args.ao):
+    if args.dense and (args.shadows or args.ao or args.reflections):
         # shade_traced skips secondaries without a brickmap — say so
         # instead of silently rendering unshadowed
-        print("--shadows/--ao ignored: the dense-grid path has no secondary"
-              " trace (use the brickmap path)", file=sys.stderr)
+        print("--shadows/--ao/--reflections ignored: the dense-grid path has"
+              " no secondary trace (use the brickmap path)", file=sys.stderr)
     env = Environment.default()  # main.cu:58-63
 
     renderer = Renderer("voxelengine_tpu")

@@ -30,10 +30,12 @@ Env knobs:
   BENCH_SHADOWS=1      enable shadow rays (working version of the
                        reference's disabled scaffolding, Renderer.cu:102)
   BENCH_AO=N           N hemisphere AO samples/pixel (Renderer.cu:120-165,
-                       reference ships with samples=0); both shading knobs
-                       route their secondary rays through the flagship
-                       kernel and change the metric name so the row is
-                       never confused with the primary-ray headline
+                       reference ships with samples=0)
+  BENCH_REFLECT=1      one-bounce mirror reflections (extension beyond the
+                       reference).  All shading knobs route their secondary
+                       rays through the flagship kernel and change the
+                       metric name so the row is never confused with the
+                       primary-ray headline
   BENCH_ALLOW_CPU=1    skip the TPU-backend guard (local sanity runs)
   BENCH_TPU_TIMEOUT=s  backend-probe timeout before a re-exec retry (300)
   BENCH_PROFILE=dir    capture a jax.profiler trace of the timed batch
@@ -180,6 +182,7 @@ def main():
         trace_tail_frac=int(os.environ.get("BENCH_TAILFRAC", "8")),
         shadow_rays=os.environ.get("BENCH_SHADOWS", "0") == "1",
         ao_samples=int(os.environ.get("BENCH_AO", "0")),
+        reflections=os.environ.get("BENCH_REFLECT", "0") == "1",
     )
     env = Environment.default()
     # camera on a terrain hill looking across the valley (host tuples kept
@@ -401,6 +404,8 @@ def main():
         shading += "_shadows"
     if cfg.ao_samples:
         shading += f"_ao{cfg.ao_samples}"
+    if cfg.reflections:
+        shading += "_refl"
     metric = (f"primary_mrays_per_s_{cfg.height}p_checkerboard_"
               + {"small": "1k", "full": "8k", "huge": "16k"}[world]
               + "_world" + shading)

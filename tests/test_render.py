@@ -244,6 +244,75 @@ def test_ao_golden_vs_oracle(small_world):
     assert bad <= max(1, hit.sum() // 20), bad
 
 
+def test_reflections_option_runs(small_world):
+    """reflections=True renders finite, changes hit pixels, and leaves
+    miss (sky) pixels bit-identical (the sky overwrite discards the
+    secondary trace for them)."""
+    bm, env, origin, euler = _mini_scene(small_world)
+    base = RenderConfig(width=32, height=16, checkerboard=False,
+                        crosshair=False)
+    import dataclasses
+
+    on = dataclasses.replace(base, reflections=True)
+    f0 = np.asarray(render_frame(bm, make_framebuffer(base), origin, euler,
+                                 env, jnp.int32(0), base))
+    f1 = np.asarray(render_frame(bm, make_framebuffer(on), origin, euler,
+                                 env, jnp.int32(0), on))
+    assert np.isfinite(f1).all()
+    assert (f0 != f1).any()  # reflective surfaces shade differently
+    # miss pixels = raw ray dir in both configs
+    from voxelengine_tpu.ops.trace import trace_brickmap
+    from voxelengine_tpu.render.frame import primary_rays
+
+    o, d, px, py, _ = primary_rays(base, origin, euler, jnp.int32(0))
+    out = trace_brickmap(bm, o, d, base.max_steps)
+    miss = ~np.asarray(out.hit).reshape(16, 32)
+    assert miss.any()
+    assert np.array_equal(f0[miss], f1[miss])
+
+
+def test_reflections_golden_vs_manual():
+    """One-bounce reflection matches a manual restatement through the
+    public pieces (trace -> reflect -> trace -> shade -> lerp -> tonemap)
+    on a scene with both reflected hits (pillar) and reflected sky."""
+    from voxelengine_tpu.core.bitgrid import BitGrid
+    from voxelengine_tpu.core.brickmap import build_brickmap
+    from voxelengine_tpu.ops.trace import trace_brickmap
+    from voxelengine_tpu.render.frame import primary_rays
+
+    dense = np.zeros((32, 32, 32), bool)
+    dense[:, 0:8, :] = True  # floor
+    dense[10:14, 8:20, 10:14] = True  # pillar: reflected rays can hit it
+    bm = build_brickmap(BitGrid.from_dense(dense), 8)
+    env = Environment.default()
+    origin = jnp.asarray([16.0, 20.0, 24.0])
+    euler = jnp.asarray([-0.9, 0.0, 0.0])  # look down toward the floor
+    cfg = RenderConfig(width=32, height=16, checkerboard=False,
+                       crosshair=False, staged_trace=False,
+                       reflections=True, reflectivity=0.35)
+    fb = np.asarray(render_frame(bm, make_framebuffer(cfg), origin, euler,
+                                 env, jnp.int32(0), cfg))
+
+    o, d, px, py, _ = primary_rays(cfg, origin, euler, jnp.int32(0))
+    out = trace_brickmap(bm, o, d, cfg.max_steps)
+    normal = -out.normal
+    color = calculate_color(origin, normal, out.position, env)
+    rdir = reflect(d, normal)
+    ro = out.position + normal * 0.01
+    rres = trace_brickmap(bm, ro, rdir, cfg.max_steps)
+    # both reflected outcomes must actually occur on this scene
+    rhit = np.asarray(rres.hit)[np.asarray(out.hit)]
+    assert rhit.any() and (~rhit).any()
+    rcol = calculate_color(ro, -rres.normal, rres.position, env)
+    rcol = jnp.where(rres.hit[:, None], rcol, rdir)
+    color = color + (rcol - color) * np.float32(cfg.reflectivity)
+    color = tonemap(color)
+    color = jnp.where(out.hit[:, None], color, d)
+    want = np.asarray(jnp.clip(color, 0.0, 1.0)).reshape(16, 32, 3)
+    # separate jits of the same elementwise math: allow fusion-level ULPs
+    np.testing.assert_allclose(fb, want, atol=2e-6)
+
+
 def test_to_bgra8(small_world):
     fb = jnp.asarray([[[1.0, 0.5, 0.0]]])
     b = np.asarray(to_bgra8(fb))

@@ -76,6 +76,15 @@ class RenderConfig:
     # Renderer.cu:123); they default off for parity but are implemented.
     shadow_rays: bool = False
     ao_samples: int = 0
+    # One-bounce mirror reflections (an extension beyond the reference —
+    # its ToDo list wishes for indirect lighting, README.md:14-24, but
+    # neither engine ships any): the reflected ray rides the same
+    # traversal path as the primaries (incl. sharded/distributed renders
+    # via shade_traced's ``secondary`` hook), its hit is shaded with the
+    # same Blinn-ish model, and the result lerps into the surface color
+    # by ``reflectivity`` before tonemapping.  Off by default for parity.
+    reflections: bool = False
+    reflectivity: float = 0.35
     crosshair: bool = True  # Renderer.cu:260-268
     debug_pos_mod: float = 128.0  # Renderer.cu:217-222
     # straggler compaction (ops.trace.trace_brickmap_staged): big win on

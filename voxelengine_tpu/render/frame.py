@@ -393,6 +393,26 @@ def shade_traced(
 
     if cfg.debug_view is DebugView.SHADED:
         color = calculate_color(cam_pos, normal, out.position, env, shadow_hit)
+        if cfg.reflections and (bm is not None or secondary is not None):
+            # one-bounce mirror reflection (extension beyond the reference;
+            # see RenderConfig.reflections): trace the reflected ray through
+            # the same path as the primaries, shade its hit with the same
+            # model (reflected sky = raw ray direction, like the primary
+            # miss rule Renderer.cu:254-258), lerp by reflectivity.  Miss
+            # pixels trace from the inf sentinel like the AO/shadow rays
+            # and are discarded by the sky overwrite below.
+            rdir = reflect(dirs, normal)
+            ro = out.position + normal * 0.01
+            rres = (
+                secondary(ro, rdir, cfg.max_steps)
+                if secondary is not None
+                else _secondary_trace(bm, lt, cfg, ro, rdir, cfg.max_steps,
+                                      fused)
+            )
+            rcol = calculate_color(ro, -rres.normal, rres.position, env, None)
+            rcol = jnp.where(rres.hit[:, None], rcol, rdir)
+            color = color + (rcol - color) * F32(cfg.reflectivity)
+            steps = steps + jnp.where(out.hit, rres.steps, 0)
         if cfg.ao_samples > 0 and (bm is not None or secondary is not None):
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
             ao = _ambient_occlusion(
