@@ -9,8 +9,9 @@ host-side brick→line relayout (raw bricks never touch HBM).
 
 Env knobs (mirroring bench.py): DEMO_SHADOWS=1 adds shadow rays,
 DEMO_AO=N adds N hemisphere AO samples — the working version of the
-reference's disabled scaffolding (`Renderer.cu:102,120-165`); the default
-output name gains a `_shadows_aoN` suffix.
+reference's disabled scaffolding (`Renderer.cu:102,120-165`) — and
+DEMO_REFLECT=1 adds one-bounce mirror reflections; the default output
+name gains a `_shadows_aoN_refl` suffix.
 """
 
 import os
@@ -41,7 +42,9 @@ def main():
     dims = {"full": (8192, 512, 8192), "huge": (16384, 512, 16384)}[world]
     shadows = os.environ.get("DEMO_SHADOWS", "0") == "1"
     ao = int(os.environ.get("DEMO_AO", "0"))
-    suffix = ("_shadows" if shadows else "") + (f"_ao{ao}" if ao else "")
+    refl = os.environ.get("DEMO_REFLECT", "0") == "1"
+    suffix = (("_shadows" if shadows else "") + (f"_ao{ao}" if ao else "")
+              + ("_refl" if refl else ""))
     out = sys.argv[2] if len(sys.argv) > 2 else (
         f"docs/demo_{'16k' if world == 'huge' else '8k'}_terrain_1080p"
         f"{suffix}.png")
@@ -74,10 +77,10 @@ def main():
 
     cfg = RenderConfig(width=1920, height=1080, checkerboard=True,
                        tile_order=True, trace_tile=2048, trace_slots=16,
-                       shadow_rays=shadows, ao_samples=ao,
+                       shadow_rays=shadows, ao_samples=ao, reflections=refl,
                        # match bench.py's probe decision on this scene so
                        # the persistent compile cache is shared with it
-                       trace_use_macro=not (shadows or ao))
+                       trace_use_macro=not (shadows or ao or refl))
     env = Environment.default()
     origin = jnp.asarray([dims[0] / 2, 380.0, dims[2] / 2], jnp.float32)
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)
