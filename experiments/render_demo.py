@@ -78,9 +78,12 @@ def main():
     cfg = RenderConfig(width=1920, height=1080, checkerboard=True,
                        tile_order=True, trace_tile=2048, trace_slots=16,
                        shadow_rays=shadows, ao_samples=ao, reflections=refl,
-                       # match bench.py's probe decision on this scene so
-                       # the persistent compile cache is shared with it
-                       trace_use_macro=not (shadows or ao or refl))
+                       # macro spans off: bench.py's memoized probe reports
+                       # zero macro-skip iterations on this terrain scene
+                       # (round-3 phase-mix, BASELINE.md) and decides
+                       # macro-off regardless of shading flags, so hardcode
+                       # the same decision to share its compile cache
+                       trace_use_macro=False)
     env = Environment.default()
     origin = jnp.asarray([dims[0] / 2, 380.0, dims[2] / 2], jnp.float32)
     euler = jnp.asarray([-0.25, 0.75, 0.0], jnp.float32)

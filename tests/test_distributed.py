@@ -309,3 +309,33 @@ def test_zsharded_render_secondary_shading(rng, mesh):
     outk = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler,
                                  env, jnp.int32(0), cfg, mesh, zw=zw)
     assert np.allclose(np.asarray(refk), np.asarray(outk), atol=3e-2)
+
+
+def test_zsharded_render_reflections_only(rng, mesh):
+    """Reflections with shadows/AO OFF must still route a secondary tracer
+    (round-4 advisor finding: needs_secondary omitted cfg.reflections, so
+    the reflected bounce was silently skipped).  Guard: the zsharded frame
+    must match the single-device reflective render, and must NOT match a
+    reflections-off render (i.e. the bounce actually happened)."""
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.parallel.distributed import render_frame_zsharded
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+    import dataclasses
+
+    bm, _, _ = _world_and_rays(rng)
+    cfg = RenderConfig(width=32, height=16, checkerboard=False,
+                       reflections=True)
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 48.0, 32.0], jnp.float32)
+    euler = jnp.asarray([-0.6, 0.4, 0.0], jnp.float32)
+
+    ref = render_frame(bm, make_framebuffer(cfg), origin, euler, env,
+                       jnp.int32(0), cfg)
+    out = render_frame_zsharded(bm, make_framebuffer(cfg), origin, euler,
+                                env, jnp.int32(0), cfg, mesh)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-6)
+
+    cfg_off = dataclasses.replace(cfg, reflections=False)
+    flat = render_frame(bm, make_framebuffer(cfg_off), origin, euler, env,
+                        jnp.int32(0), cfg_off)
+    assert not np.allclose(np.asarray(flat), np.asarray(out), atol=1e-6)

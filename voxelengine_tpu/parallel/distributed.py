@@ -235,7 +235,7 @@ def render_frame_zsharded(
 
     origins, dirs, px, py, py_r = primary_rays(cfg, origin, euler, frame_number)
     out = trace(origins, dirs, cfg.max_steps)
-    needs_secondary = cfg.shadow_rays or cfg.ao_samples > 0
+    needs_secondary = cfg.shadow_rays or cfg.ao_samples > 0 or cfg.reflections
     color, write = shade_traced(
         None, out, origins, dirs, px, py, py_r, origin, env, frame_number, cfg,
         secondary=trace if needs_secondary else None,

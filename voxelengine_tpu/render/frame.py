@@ -412,7 +412,6 @@ def shade_traced(
             rcol = calculate_color(ro, -rres.normal, rres.position, env, None)
             rcol = jnp.where(rres.hit[:, None], rcol, rdir)
             color = color + (rcol - color) * F32(cfg.reflectivity)
-            steps = steps + jnp.where(out.hit, rres.steps, 0)
         if cfg.ao_samples > 0 and (bm is not None or secondary is not None):
             l_dot = jnp.maximum(jnp.sum(normal * env.light_direction, axis=-1), 0.0)
             ao = _ambient_occlusion(
