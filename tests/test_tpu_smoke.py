@@ -119,6 +119,82 @@ def test_trace_brickmap_hbm_compiled_morton_bricks(rng):
     assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
 
 
+def test_two_level_oracle_parity_compiled(rng):
+    """C7 on hardware: the flagship HBM kernel, COMPILED by Mosaic on the
+    real chip, against the scalar reference-semantics oracle
+    (VolumeRaytracer.cu:354-525) — not merely against the XLA twin.  Same
+    budget and mismatch bound as the CPU-lane test_two_level_parity: the
+    resume-based production path may legitimately differ on rays the
+    oracle's repeat-cell guard kills (reference quirk, rate measured in
+    PARITY.md), so hit mismatches are bounded at 1%."""
+    from voxelengine_tpu.oracle import reference as R
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        make_line_table,
+        trace_brickmap_hbm,
+    )
+
+    dense = _scene(rng)
+    bm = build_brickmap(
+        BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+    )
+    lt = make_line_table(bm)
+    o, d = _rays(rng, 1024, 64)
+    out = trace_brickmap_hbm(bm, lt, o, d, 2048, tile=1024, interpret=False)
+    hit = np.asarray(out.hit)
+    pos = np.asarray(out.position)
+    nrm = np.asarray(out.normal)
+    on, dn = np.asarray(o), np.asarray(d)
+    coarse, cdims, brick, cbounds = R.make_brickmap_callbacks(dense, 8)
+    hit_mism = 0
+    for i in range(on.shape[0]):
+        res = R.raytrace_brickmap(coarse, cdims, brick, cbounds, 8,
+                                  on[i], dn[i])
+        if bool(hit[i]) != res.hit:
+            hit_mism += 1
+            continue
+        if res.hit:
+            assert np.allclose(pos[i], res.position, atol=2e-3), i
+            assert np.allclose(nrm[i], res.normal, atol=0), i
+    assert hit_mism <= on.shape[0] // 100, hit_mism
+
+
+def test_full_shading_golden_compiled(rng):
+    """C11 on hardware: a full-shading frame (shadow rays + 4-sample AO +
+    one-bounce reflections, Renderer.cu:89-177 semantics) rendered through
+    the compiled Mosaic kernel path (``lt``) equals the plain-XLA render
+    to fusion-level ULPs — hits are exact by the same argument the bench
+    gate makes every run; shading is the identical jnp math under two
+    separate jits."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.config import Environment, RenderConfig
+    from voxelengine_tpu.ops.pallas_bigtrace import make_line_table
+    from voxelengine_tpu.render.frame import make_framebuffer, render_frame
+
+    dense = _scene(rng)
+    bm = build_brickmap(
+        BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+    )
+    lt = make_line_table(bm)
+    env = Environment.default()
+    origin = jnp.asarray([32.0, 40.0, 56.0], jnp.float32)
+    euler = jnp.asarray([-0.7, 0.2, 0.0], jnp.float32)
+    cfg = RenderConfig(width=64, height=32, checkerboard=False,
+                       crosshair=False, staged_trace=False,
+                       shadow_rays=True, ao_samples=4, reflections=True,
+                       trace_use_macro=False)
+    f_pallas = np.asarray(render_frame(
+        bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(0), cfg,
+        lt=lt))
+    f_xla = np.asarray(render_frame(
+        bm, make_framebuffer(cfg), origin, euler, env, jnp.int32(0), cfg))
+    assert np.isfinite(f_pallas).all()
+    assert (f_pallas.sum(-1) > 0).any()
+    np.testing.assert_allclose(f_pallas, f_xla, atol=2e-6)
+
+
 def test_trace_brickmap_mxu_compiled_morton(rng):
     """Morton coarse+brick addressing in the MXU kernel on hardware."""
     from voxelengine_tpu.ops.pallas_trace2 import trace_brickmap_mxu
