@@ -751,7 +751,7 @@ def _make_fetch_pervote(cache_ref, tags_smem, cand_ref, rot, *, S):
 
 
 def _trace_inner(
-    env, fetch, carry, *,
+    env, fetch, carry, tags=None, *,
     grid_dims, region_dims, num_regions, factor, wpb,
     max_steps, use_macro, brick_layout, double_step,
     diag: bool = False,
@@ -761,11 +761,15 @@ def _trace_inner(
     carries the per-ray constants (start, direction, derived DDA terms,
     edge pads) plus the macro tables; everything else is loop state.
 
-    ``diag=True`` appends 9 per-ray phase counters to the carry (stall /
+    ``diag=True`` appends 10 per-ray phase counters to the carry (stall /
     macro-skip / coarse-advance / pend / descend / fine-step / double-step
-    / ascend / collapsible-x-run iterations) — the measurement build
-    behind the round-3/4 where-do-iterations-go analysis; never on the
-    production path."""
+    / ascend / collapsible-x-run / adjacent-stall iterations) — the
+    measurement build behind the round-3/4 where-do-iterations-go analysis
+    and the round-5 prefetch-predictability probe; never on the production
+    path.  ``tags`` (required when diag) is the tuple of the line cache's
+    current slot tags, read once per DMA round: ``adjstall`` counts stall
+    iterations whose wanted line id is +/-1 of a RESIDENT line — the
+    stalls a speculative adjacent-line prefetch could have absorbed."""
     (sx, sy, sz, dx, dy, dz,
      stx, sty, stz, tdx, tdy, tdz, ivx, ivy, ivz,
      padx, pady, padz, macro, macro_row0, macro2_words) = env
@@ -793,8 +797,8 @@ def _trace_inner(
     zeroi = jnp.zeros((R, 128), I32)
 
     if diag:
-        phase_counts = carry[-9:]
-        carry = carry[:-9]
+        phase_counts = carry[-10:]
+        carry = carry[:-10]
     (act, fine, pend, hit, imm, hit_imm, steps,
      ccx, ccy, ccz, ctx, cty, ctz, centry,
      fcx, fcy, fcz, ftx, fty, ftz,
@@ -1253,12 +1257,21 @@ def _trace_inner(
         # phase attribution for this iteration (disjoint except step2,
         # which rides a fine_step lane): where do tile iterations go?
         (c_stall, c_mskip, c_cadv, c_pend, c_desc, c_fstep, c_step2,
-         c_asc, c_xrun) = phase_counts
+         c_asc, c_xrun, c_adjs) = phase_counts
         stall = active & ~runnable
         # xrun: fine steps along x whose whole 32-cell word row is empty —
         # the lane-iterations an exact x-slab skip (absolute-t semantics)
         # could collapse to one event per (y,z) row; its measured ceiling
         xrun = fine_step & fax & (word == 0)
+        # adjstall: stall iterations whose wanted line is +/-1 of a line
+        # RESIDENT in the cache right now — the stalls a speculative
+        # adjacent-line prefetch (fetch L -> also fetch L+/-1) could have
+        # absorbed.  Measured ceiling of that idea, nothing more.
+        adj = jnp.zeros((R, 128), jnp.bool_)
+        if tags is not None:
+            for tv in tags:
+                adj = adj | (want_new == tv + 1) | (want_new == tv - 1)
+        adjstall = stall & adj
         out = out + (
             c_stall + stall.astype(I32),
             c_mskip + macro_skip.astype(I32),
@@ -1269,6 +1282,7 @@ def _trace_inner(
             c_step2 + step2.astype(I32),
             c_asc + ascend.astype(I32),
             c_xrun + xrun.astype(I32),
+            c_adjs + adjstall.astype(I32),
         )
     return out
 
@@ -1357,7 +1371,7 @@ def _bigtrace_kernel(
     double_step: bool,
     diag: bool = False,
 ):
-    # rest = [9 phase-count out refs if diag] + 6 scratch refs
+    # rest = [10 phase-count out refs if diag] + 6 scratch refs
     (cache_ref, tags_smem, rr_ref, started_ref, sems_ref, cand_ref) = rest[-6:]
     phase_refs = rest[:-6]
     S = num_slots
@@ -1439,8 +1453,11 @@ def _bigtrace_kernel(
             )
         else:
             fetch = _make_fetch_full(cache_ref, tags_smem, S=S)
+        tag_vals = (
+            tuple(tags_smem[s] for s in range(S)) if diag else None
+        )
         st = jax.lax.fori_loop(
-            0, inner_steps, lambda i, c: inner(env, fetch, c), st,
+            0, inner_steps, lambda i, c: inner(env, fetch, c, tag_vals), st,
             unroll=False,
         )
         return (it + 1,) + st
@@ -1456,7 +1473,7 @@ def _bigtrace_kernel(
             zeroi, zeroi, jnp.full((R, 128), NOLINE, I32),
             jnp.full((R, 128), -1, I32), zeroi)
     if diag:
-        init = init + (zeroi,) * 9
+        init = init + (zeroi,) * 10
 
     # iteration cap: the non-fused path's worst charged cycle is
     # to_pend(+0) -> descend(+0) -> ascend(+1) = 3 iterations per budget
@@ -1496,7 +1513,7 @@ def _bigtrace_kernel(
     # lockstep/stall diagnostic: iterations this tile actually ran
     iters_ref[:] = jnp.full((R, 128), out[0] * inner_steps, I32)
     if diag:
-        for k in range(9):
+        for k in range(10):
             phase_refs[k][:] = st[47 + k]
 
 
@@ -1539,11 +1556,13 @@ def trace_brickmap_hbm(
     rotating slot (see :func:`_stage_shortlist`) — identical results,
     fetch cost independent of ``num_slots``.
 
-    ``return_phases=True`` additionally returns a dict of 9 per-ray
+    ``return_phases=True`` additionally returns a dict of 10 per-ray
     iteration-phase counters (``stall``/``mskip``/``cadv``/``pend``/
-    ``desc``/``fstep``/``step2``/``asc``/``xrun``) — the measurement
-    build that answers *where do tile iterations go* (slightly slower:
-    9 extra vector adds per iteration; results are unchanged).
+    ``desc``/``fstep``/``step2``/``asc``/``xrun``/``adjstall`` — the
+    last counts stalls whose wanted line is +/-1 of a resident line,
+    the measured ceiling of a speculative adjacent-line prefetch) —
+    the measurement build that answers *where do tile iterations go*
+    (slightly slower; results are unchanged).
     """
     if interpret is None:
         # CPU (tests, oracles) runs the interpreter; TPU compiles Mosaic
@@ -1617,7 +1636,7 @@ def trace_brickmap_hbm(
         double_step=double_step,
         diag=return_phases,
     )
-    n_extra = 9 if return_phases else 0
+    n_extra = 10 if return_phases else 0
     outs = pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -1649,7 +1668,7 @@ def trace_brickmap_hbm(
     res = TraceOut(hit=hit, position=pos, normal=nrm, steps=steps)
     if return_phases:
         names = ("stall", "mskip", "cadv", "pend", "desc", "fstep",
-                 "step2", "asc", "xrun")
+                 "step2", "asc", "xrun", "adjstall")
         phases = {
             k: outs[9 + i].reshape(-1)[:n] for i, k in enumerate(names)
         }
