@@ -61,7 +61,7 @@ _FIELDS = dict(
     bslot=43, want=44,
 )
 _PHASES = ("stall", "mskip", "cadv", "pend_to", "desc", "fstep",
-           "step2", "asc", "xrun")
+           "step2", "asc", "xrun", "adjstall")
 
 
 def trace_ray_crossings(
@@ -164,7 +164,7 @@ def trace_ray_crossings(
             zero, zero, zero, zero, zero, zero,
             zero, zero, zero, zero, zero, zero,
             zeroi, zeroi, jnp.full((1, 128), NOLINE, I32),
-            jnp.full((1, 128), -1, I32), zeroi) + (zeroi,) * 9
+            jnp.full((1, 128), -1, I32), zeroi) + (zeroi,) * 10
 
     if max_iters is None:
         # the ideal fetch never stalls: to_pend(+0) -> descend(+0) ->
