@@ -195,6 +195,42 @@ def test_full_shading_golden_compiled(rng):
     np.testing.assert_allclose(f_pallas, f_xla, atol=2e-6)
 
 
+def test_edit_retrace_compiled(rng):
+    """The interactive edit surface on hardware: O(edits) in-place voxel
+    writes + incremental line-table refresh (`apply_edits_hbm`), then the
+    edited world traced through the COMPILED Mosaic kernel and matched
+    against the XLA traversal of the same edited world (the place/break +
+    re-render loop of VoxelApp, main.cu:64-80 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxelengine_tpu.ops.pallas_bigtrace import (
+        apply_edits_hbm,
+        make_line_table,
+        trace_brickmap_hbm,
+    )
+    from voxelengine_tpu.ops.trace import trace_brickmap
+
+    dense = _scene(rng)
+    bm = build_brickmap(
+        BitGrid.from_dense(dense), 8, coarse_layout=Layout.LINEAR
+    )
+    lt = make_line_table(bm)
+    k = 40
+    xs = rng.integers(0, 64, k)
+    ys = rng.integers(0, 64, k)
+    zs = rng.integers(0, 64, k)
+    vals = rng.random(k) < 0.7
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731 (donation-safe)
+    bm2, lt2 = apply_edits_hbm(copy(bm), copy(lt), xs, ys, zs, vals)
+    o, d = _rays(rng, 1024, 64)
+    ref = trace_brickmap(bm2, o, d, 2048)
+    out = trace_brickmap_hbm(bm2, lt2, o, d, 2048, tile=1024,
+                             interpret=False)
+    assert (np.asarray(ref.hit) == np.asarray(out.hit)).all()
+    assert np.array_equal(np.asarray(ref.steps), np.asarray(out.steps))
+
+
 def test_trace_brickmap_mxu_compiled_morton(rng):
     """Morton coarse+brick addressing in the MXU kernel on hardware."""
     from voxelengine_tpu.ops.pallas_trace2 import trace_brickmap_mxu
